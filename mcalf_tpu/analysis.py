@@ -1,0 +1,81 @@
+"""Chain analysis: evidence readout, per-sample component z-sorting, parameter
+names, and summary statistics.
+
+Replaces the reference's module-level ``pc_analyzer``/``get_parnames``
+(/root/reference/mcalf/routines/hires_fitter.py:704-759) with the same file
+interface: reads ``<base>.stats`` + ``<base>_equal_weights.txt``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+from mcalf_tpu.io.chains import read_equal_weights, read_stats
+
+__all__ = ["analyze_chains", "sort_components", "get_parnames", "ncomp_occurrence"]
+
+
+def sort_components(postsamples: np.ndarray, startind: int | None = None) -> np.ndarray:
+    """Per-sample: NaN out dimensions beyond the active component count and
+    sort the active (N, z, b) triplets by redshift.
+
+    Mirrors the reference's post-hoc label-switching treatment
+    (hires_fitter.py:723-745): for each posterior sample, the first
+    ``floor(p[startind])`` triplets after the ncomp slot are kept (z-sorted),
+    everything beyond is NaN.  ``startind`` defaults to the reference's
+    layout inference ``(ncols - 1) % 3`` (valid for the
+    [head..., ncomp, triplets...] layout, :728).
+    """
+    post = np.array(postsamples, dtype=np.float64, copy=True)
+    ncols = post.shape[1]
+    if startind is None:
+        startind = (ncols - 1) % 3
+    out = post.copy()
+    for ii in range(post.shape[0]):
+        thisncomp = int(post[ii, startind])
+        endind = startind + 1 + 3 * thisncomp
+        out[ii, endind:] = np.nan
+        zcols = post[ii, startind + 2 : endind : 3]
+        zsort = np.argsort(zcols)
+        for jj, src in enumerate(zsort):
+            out[ii, startind + 1 + 3 * jj : startind + 4 + 3 * jj] = post[
+                ii, startind + 1 + 3 * src : startind + 4 + 3 * src
+            ]
+    return out
+
+
+def analyze_chains(
+    filesbasename: str, return_sorted: bool = True
+) -> Tuple[float, float, np.ndarray, np.ndarray]:
+    """Read ``<base>.stats`` + ``<base>_equal_weights.txt`` and return
+    (lnZ, lnZ_err, lnL samples, posterior samples) -- reference
+    ``pc_analyzer`` semantics (hires_fitter.py:704-747)."""
+    lnz, lnz_err = read_stats(filesbasename + ".stats")
+    allsamples = read_equal_weights(filesbasename + "_equal_weights.txt")
+    lhoodsamples = -0.5 * allsamples[:, 1]
+    postsamples = allsamples[:, 2:]
+    if return_sorted:
+        postsamples = sort_components(postsamples)
+    return lnz, lnz_err, lhoodsamples, postsamples
+
+
+def get_parnames(ncomp: int, cont: bool = False) -> List[str]:
+    """Human-readable parameter names (reference hires_fitter.py:749-759)."""
+    names: List[str] = []
+    if cont:
+        names.append("Cont")
+    for ii in range(ncomp):
+        names += [f"N{ii+1}", f"z{ii+1}", f"b{ii+1}"]
+    return names
+
+
+def ncomp_occurrence(postsamples: np.ndarray, startind: int):
+    """Posterior occurrence fraction of each active component count
+    (reference cli.py:367-383).  Returns (ncomp values, fractions, MAP)."""
+    vals, counts = np.unique(
+        np.floor(postsamples[:, startind]).astype(int), return_counts=True
+    )
+    frac = counts / counts.sum()
+    return vals, frac, int(vals[np.argmax(frac)])

@@ -1,0 +1,345 @@
+"""On-device batched nested sampling (the TPU replacement for the
+reference's four host-side samplers).
+
+The reference delegates sampling to PolyChord / dyPolyChord / MultiNest /
+dynesty (host Fortran/Python with per-call Python callbacks,
+/root/reference/mcalf/cli.py:80-206) or jaxns (:208-326).  Here the entire
+run -- live-point set, constrained replacement sampling, evidence
+accumulation, termination -- is ONE ``lax.while_loop`` under ``jit`` with
+static shapes.  There are no host round-trips per likelihood call and no MPI:
+the reference's MPI fan-out across ranks becomes a batched likelihood over a
+live-point block on the device, and independent fits shard over the ICI mesh
+(see :mod:`mcalf_tpu.parallel`).
+
+Algorithm: vectorized nested sampling with batch deletion.
+
+* ``num_delete`` worst live points are deleted per outer step; the j-th
+  deleted point (in likelihood order) shrinks the prior volume by
+  E[d ln X] = -1/(nlive - j), exactly the sequential-NS bookkeeping, so
+  batch deletion is statistically identical to ``num_delete`` classic steps
+  (parallel NS a la PolyChord's MPI ranks).
+* Replacements are drawn by ``num_repeats`` passes of Neal (2003)
+  slice sampling with shrinkage, vmapped over all deleted slots at once:
+  random directions scaled by the per-dimension standard deviation of the
+  survivor set (diagonal whitening), hard likelihood constraint
+  L > L*_{(num_delete)}.  Chain starts are random survivors -- already
+  distributed per the constrained prior, so every pass preserves the
+  invariant distribution and ``num_repeats`` only controls decorrelation
+  (same role as PolyChord's ``num_repeats``, cli.py:92).
+* Termination on remaining-evidence: mean live likelihood times remaining
+  volume < ``precision_criterion`` x accumulated evidence (PolyChord's
+  ``precision_criterion``, cli.py:93), or the ``max_samples`` cap (jaxns
+  setting, cli.py:259-269).
+* After termination the live set is folded in with uniform weights
+  X_final/nlive (Skilling's standard finalization).
+
+Everything is float32; the log-evidence error from f32 accumulation is well
+below the sampling uncertainty sqrt(H/nlive).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["NSConfig", "NSResults", "NSState", "nested_sample", "make_sampler"]
+
+
+@dataclass(frozen=True)
+class NSConfig:
+    """Static sampler configuration (hashable; part of the jit key)."""
+
+    ndim: int
+    nlive: int = 200
+    #: live points deleted + replaced per outer step (TPU batch width)
+    num_delete: int = 0  # 0 -> nlive // 4
+    #: slice-sampling passes per replacement (decorrelation length)
+    num_repeats: int = 0  # 0 -> 2 * ndim (doubled by difficult_model)
+    #: stop when Z_live / Z < precision_criterion
+    precision_criterion: float = 1e-3
+    #: cap on collected dead points (static buffer size)
+    max_samples: int = 20000
+    #: max shrink iterations per slice pass (safety bound)
+    max_shrink: int = 20
+    #: initial slice bracket half-width in whitened units
+    bracket_width: float = 2.0
+    #: doubles num_repeats (jaxns 'difficult_model', cli.py:266-267)
+    difficult_model: bool = False
+
+    def resolved(self) -> "NSConfig":
+        nd = self.num_delete if self.num_delete > 0 else max(1, self.nlive // 4)
+        nd = min(nd, self.nlive - 1)
+        nr = self.num_repeats if self.num_repeats > 0 else 2 * self.ndim
+        if self.difficult_model:
+            nr *= 2
+        import dataclasses
+
+        return dataclasses.replace(self, num_delete=nd, num_repeats=nr)
+
+
+class NSState(NamedTuple):
+    """Carry of the outer while_loop -- also the checkpointable state."""
+
+    key: jax.Array
+    live_u: jax.Array          # (nlive, ndim)
+    live_logl: jax.Array       # (nlive,)
+    dead_u: jax.Array          # (cap, ndim)
+    dead_logl: jax.Array       # (cap,)
+    dead_logw: jax.Array       # (cap,) log prior-mass weight of each dead point
+    n_dead: jax.Array          # int32
+    logx: jax.Array            # log remaining prior volume
+    logz: jax.Array            # accumulated log evidence
+    n_like: jax.Array          # int32 likelihood evaluations
+    step: jax.Array            # outer step counter
+
+
+class NSResults(NamedTuple):
+    logz: jax.Array
+    logzerr: jax.Array
+    h: jax.Array                    # information (nats)
+    samples_u: jax.Array            # (cap + nlive, ndim) unit-cube samples
+    logl: jax.Array                 # (cap + nlive,)
+    logw: jax.Array                 # (cap + nlive,) log prior-mass weights
+    log_posterior_weights: jax.Array  # logw + logl - logz (normalized)
+    n_dead: jax.Array               # total entries valid (incl. live fold-in)
+    n_like: jax.Array
+    n_iter: jax.Array
+    termination_reason: jax.Array   # 0 = converged, 1 = max_samples
+
+
+def _uniform_logw(state: NSState, nlive: int):
+    """Log-weights for folding the live set in at termination."""
+    return state.logx - jnp.log(jnp.float32(nlive))
+
+
+def nested_sample(
+    loglike_batch: Callable,
+    key: jax.Array,
+    config: NSConfig,
+) -> NSResults:
+    """Run nested sampling entirely on device.
+
+    Parameters
+    ----------
+    loglike_batch : callable (B, ndim) unit-cube float32 -> (B,) float32
+        Batched constrained-prior log-likelihood (compose the prior transform
+        inside; see :meth:`JaxForward.loglike_cube`).
+    key : PRNG key
+    config : NSConfig
+
+    Returns NSResults (device arrays; pull with np.asarray as needed).
+    """
+    cfg = config.resolved()
+    return _nested_sample_impl(loglike_batch, key, cfg)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def _nested_sample_impl(loglike_batch, key, cfg: NSConfig):
+    ndim, nlive, B = cfg.ndim, cfg.nlive, cfg.num_delete
+    cap = int(cfg.max_samples)
+    f32 = jnp.float32
+
+    key, k0 = jax.random.split(key)
+    live_u = jax.random.uniform(k0, (nlive, ndim), dtype=f32)
+    live_logl = loglike_batch(live_u)
+
+    # Sequential shrinkage factors for a batch of B deletions:
+    # d ln X_j = -1/(nlive - j), j = 0..B-1.
+    dlogx = -1.0 / (nlive - jnp.arange(B, dtype=f32))          # (B,)
+    cum_dlogx = jnp.cumsum(dlogx)                               # (B,)
+
+    state = NSState(
+        key=key,
+        live_u=live_u,
+        live_logl=live_logl,
+        dead_u=jnp.zeros((cap, ndim), f32),
+        dead_logl=jnp.full((cap,), -jnp.inf, f32),
+        dead_logw=jnp.full((cap,), -jnp.inf, f32),
+        n_dead=jnp.int32(0),
+        logx=f32(0.0),
+        logz=f32(-jnp.inf),
+        n_like=jnp.int32(nlive),
+        step=jnp.int32(0),
+    )
+
+    log_eps = jnp.log(f32(cfg.precision_criterion))
+
+    def remaining_logz(s: NSState):
+        # Upper estimate of the evidence still in the live set.
+        return (
+            jax.scipy.special.logsumexp(s.live_logl)
+            - jnp.log(f32(nlive))
+            + s.logx
+        )
+
+    def cond_fn(s: NSState):
+        not_capped = s.n_dead + B <= cap
+        live_ok = jnp.isfinite(jax.scipy.special.logsumexp(s.live_logl))
+        not_converged = remaining_logz(s) - jnp.maximum(s.logz, -1e30) > log_eps
+        return not_capped & (not_converged | ~jnp.isfinite(s.logz)) & live_ok
+
+    def body_fn(s: NSState) -> NSState:
+        key = s.key
+
+        # ---- delete the B worst live points ----------------------------
+        order = jnp.argsort(s.live_logl)                  # ascending
+        worst = order[:B]
+        surv = order[B:]
+        dead_logl_new = s.live_logl[worst]                # ascending in L
+        dead_u_new = s.live_u[worst]
+        lstar = s.live_logl[surv[0]]                      # = B-th smallest
+
+        # volumes: j-th deleted dies at logx + cum_dlogx[j]
+        logx_seq = s.logx + cum_dlogx                     # (B,)
+        logx_prev = jnp.concatenate([s.logx[None], logx_seq[:-1]])
+        # w_j = X_{j-1} - X_j  (rectangle rule)
+        logw_new = logx_prev + jnp.log1p(-jnp.exp(logx_seq - logx_prev))
+
+        logz = jnp.logaddexp(
+            s.logz, jax.scipy.special.logsumexp(logw_new + dead_logl_new)
+        )
+
+        dead_u = jax.lax.dynamic_update_slice(s.dead_u, dead_u_new, (s.n_dead, 0))
+        dead_logl = jax.lax.dynamic_update_slice(s.dead_logl, dead_logl_new, (s.n_dead,))
+        dead_logw = jax.lax.dynamic_update_slice(s.dead_logw, logw_new, (s.n_dead,))
+
+        # ---- replacement: slice sampling from random survivors ---------
+        surv_u = s.live_u[surv]                           # (nlive-B, ndim)
+        surv_logl = s.live_logl[surv]
+        # Diagonal whitening scale from survivor spread (fallback to full
+        # cube early on when spread is ~uniform).
+        scale = jnp.std(surv_u, axis=0) + 1e-6            # (ndim,)
+
+        key, kstart = jax.random.split(key)
+        start_idx = jax.random.randint(kstart, (B,), 0, nlive - B)
+        u_cur = surv_u[start_idx]                         # (B, ndim)
+        logl_cur = surv_logl[start_idx]
+
+        def slice_pass(carry, _):
+            u_cur, logl_cur, key, n_like = carry
+            key, kd, kr = jax.random.split(key, 3)
+            d = jax.random.normal(kd, (B, ndim), f32) * scale[None, :]
+            d = d / (jnp.linalg.norm(d, axis=1, keepdims=True) + 1e-12)
+            # Random placement of a fixed-width bracket around the current
+            # point (Neal 2003): valid shrinkage-only slice kernel.
+            r = jax.random.uniform(kr, (B,), f32)
+            W = f32(cfg.bracket_width)
+            lo = -W * r
+            hi = W * (1.0 - r)
+
+            def shrink_cond(c):
+                _, _, _, _, done, _, it, _ = c
+                return (~jnp.all(done)) & (it < cfg.max_shrink)
+
+            def shrink_body(c):
+                lo, hi, u_new, logl_new, done, key, it, n_like = c
+                key, kt = jax.random.split(key)
+                t = lo + jax.random.uniform(kt, (B,), f32) * (hi - lo)
+                u_prop = u_cur + t[:, None] * d
+                inside = jnp.all((u_prop >= 0.0) & (u_prop <= 1.0), axis=1)
+                ll_prop = loglike_batch(jnp.clip(u_prop, 0.0, 1.0))
+                ll_prop = jnp.where(inside, ll_prop, -jnp.inf)
+                acc = (ll_prop > lstar) & (~done)
+                u_new = jnp.where(acc[:, None], u_prop, u_new)
+                logl_new = jnp.where(acc, ll_prop, logl_new)
+                shrink = (~done) & (~acc)
+                lo = jnp.where(shrink & (t < 0), t, lo)
+                hi = jnp.where(shrink & (t >= 0), t, hi)
+                done = done | acc
+                return (lo, hi, u_new, logl_new, done, key, it + 1, n_like + B)
+
+            init = (
+                lo,
+                hi,
+                u_cur,
+                logl_cur,
+                jnp.zeros((B,), bool),
+                key,
+                jnp.int32(0),
+                n_like,
+            )
+            lo, hi, u_new, logl_new, done, key, _, n_like = jax.lax.while_loop(
+                shrink_cond, shrink_body, init
+            )
+            # Chains that never accepted (bracket exhausted) stay in place --
+            # valid (identity kernel) though it wastes decorrelation.
+            return (u_new, logl_new, key, n_like), None
+
+        (u_new, logl_new, key, n_like), _ = jax.lax.scan(
+            slice_pass,
+            (u_cur, logl_cur, key, s.n_like),
+            None,
+            length=cfg.num_repeats,
+        )
+
+        # ---- rebuild live set ------------------------------------------
+        live_u = s.live_u.at[worst].set(u_new)
+        live_logl = s.live_logl.at[worst].set(logl_new)
+
+        return NSState(
+            key=key,
+            live_u=live_u,
+            live_logl=live_logl,
+            dead_u=dead_u,
+            dead_logl=dead_logl,
+            dead_logw=dead_logw,
+            n_dead=s.n_dead + B,
+            logx=logx_seq[-1],
+            logz=logz,
+            n_like=n_like,
+            step=s.step + 1,
+        )
+
+    final = jax.lax.while_loop(cond_fn, body_fn, state)
+
+    # ---- fold the live set in (uniform weights X_final/nlive) ----------
+    live_logw = jnp.full((nlive,), _uniform_logw(final, nlive), f32)
+    logz = jnp.logaddexp(
+        final.logz, jax.scipy.special.logsumexp(live_logw + final.live_logl)
+    )
+
+    samples_u = jnp.concatenate([final.dead_u, final.live_u], axis=0)
+    logl = jnp.concatenate([final.dead_logl, final.live_logl])
+    logw = jnp.concatenate([final.dead_logw, live_logw])
+    # Live entries sit at [cap, cap+nlive); mark dead padding invalid.
+    valid = jnp.concatenate(
+        [jnp.arange(cap) < final.n_dead, jnp.ones((nlive,), bool)]
+    )
+    logw = jnp.where(valid, logw, -jnp.inf)
+    logl_safe = jnp.where(valid, logl, 0.0)
+
+    log_post = logw + jnp.where(valid, logl, -jnp.inf) - logz
+    # Information H = sum p_i ln L_i - ln Z  ->  logzerr = sqrt(H/nlive)
+    p = jnp.exp(log_post)
+    h = jnp.sum(jnp.where(valid, p * logl_safe, 0.0)) - logz
+    logzerr = jnp.sqrt(jnp.maximum(h, 0.0) / nlive)
+
+    converged = remaining_logz(final) - logz <= jnp.log(jnp.float32(cfg.precision_criterion))
+
+    return NSResults(
+        logz=logz,
+        logzerr=logzerr,
+        h=h,
+        samples_u=samples_u,
+        logl=logl,
+        logw=logw,
+        log_posterior_weights=log_post,
+        n_dead=final.n_dead + nlive,
+        n_like=final.n_like,
+        n_iter=final.step,
+        termination_reason=jnp.where(converged, jnp.int32(0), jnp.int32(1)),
+    )
+
+
+def make_sampler(loglike_batch: Callable, config: NSConfig):
+    """Return ``run(key) -> NSResults`` with everything jit-compiled."""
+
+    def run(key) -> NSResults:
+        return nested_sample(loglike_batch, key, config)
+
+    return run

@@ -1,0 +1,121 @@
+"""Nested-sampler correctness on problems with analytic evidence.
+
+The reference has no sampler of its own (it delegates to PolyChord etc.,
+SURVEY.md section 2.2); these tests hold our on-device sampler to the
+standard analytic benchmarks nested samplers are validated on.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcalf_tpu.sampler import (
+    NSConfig,
+    nested_sample,
+    posterior_stats,
+    resample_equal,
+)
+
+
+def gaussian_loglike(sigma, ndim, mu=0.5):
+    norm = -0.5 * ndim * np.log(2 * np.pi * sigma**2)
+
+    def loglike(u):
+        r2 = jnp.sum((u - mu) ** 2, axis=-1)
+        return (norm - 0.5 * r2 / sigma**2).astype(jnp.float32)
+
+    return loglike
+
+
+@pytest.mark.parametrize("ndim,sigma", [(2, 0.05), (4, 0.08)])
+def test_gaussian_evidence(ndim, sigma):
+    # Gaussian centered in the unit cube, sigma small enough that the
+    # truncation is negligible -> Z = 1, logZ = 0.
+    cfg = NSConfig(ndim=ndim, nlive=200, max_samples=20000,
+                   precision_criterion=1e-3)
+    res = nested_sample(gaussian_loglike(sigma, ndim), jax.random.PRNGKey(0), cfg)
+    logz = float(res.logz)
+    logzerr = float(res.logzerr)
+    assert int(res.termination_reason) == 0, "did not converge"
+    assert logzerr < 0.5
+    assert abs(logz) < max(3.5 * logzerr, 0.1), (logz, logzerr)
+
+
+def test_gaussian_posterior_moments():
+    ndim, sigma = 3, 0.06
+    cfg = NSConfig(ndim=ndim, nlive=250, max_samples=20000)
+    res = nested_sample(gaussian_loglike(sigma, ndim), jax.random.PRNGKey(1), cfg)
+    mean, std = posterior_stats(res)
+    assert np.all(np.abs(mean - 0.5) < 0.01), mean
+    assert np.all(np.abs(std - sigma) < 0.015), std
+
+
+def test_uniform_slab_evidence():
+    # L = const on the whole cube: Z = const exactly, H = 0.
+    const = -3.7
+
+    def loglike(u):
+        return jnp.full(u.shape[:-1], const, jnp.float32)
+
+    cfg = NSConfig(ndim=2, nlive=100, max_samples=5000)
+    res = nested_sample(loglike, jax.random.PRNGKey(2), cfg)
+    assert abs(float(res.logz) - const) < 0.05
+    assert abs(float(res.h)) < 0.05
+
+
+def test_truncated_gaussian_corner():
+    # Gaussian centered at a corner: only 1/2^d of the mass is inside ->
+    # logZ = -d log 2 (for sigma << 1).
+    ndim, sigma = 2, 0.05
+    ll = gaussian_loglike(sigma, ndim, mu=0.0)
+    cfg = NSConfig(ndim=ndim, nlive=300, max_samples=20000)
+    res = nested_sample(ll, jax.random.PRNGKey(3), cfg)
+    want = -ndim * np.log(2.0)
+    assert abs(float(res.logz) - want) < max(4 * float(res.logzerr), 0.15)
+
+
+def test_batch_deletion_consistency():
+    # Different num_delete settings must agree on the evidence.
+    ndim, sigma = 2, 0.05
+    ll = gaussian_loglike(sigma, ndim)
+    outs = []
+    for nd in (1, 25, 100):
+        cfg = NSConfig(ndim=ndim, nlive=200, num_delete=nd, max_samples=20000)
+        res = nested_sample(ll, jax.random.PRNGKey(4), cfg)
+        outs.append((float(res.logz), float(res.logzerr)))
+    for lz, le in outs:
+        assert abs(lz) < max(4 * le, 0.15), outs
+
+
+def test_max_samples_cap_and_static_shapes():
+    ndim = 2
+    ll = gaussian_loglike(0.02, ndim)
+    cfg = NSConfig(ndim=ndim, nlive=100, max_samples=600, num_delete=50)
+    res = nested_sample(ll, jax.random.PRNGKey(5), cfg)
+    assert int(res.termination_reason) == 1  # hit the cap
+    assert res.samples_u.shape == (600 + 100, ndim)
+    assert int(res.n_dead) <= 700
+
+
+def test_resample_equal_distribution():
+    ndim, sigma = 2, 0.06
+    res = nested_sample(
+        gaussian_loglike(sigma, ndim),
+        jax.random.PRNGKey(6),
+        NSConfig(ndim=ndim, nlive=200, max_samples=20000),
+    )
+    samples, logl = resample_equal(jax.random.PRNGKey(42), res, 4000)
+    s = np.asarray(samples)
+    assert s.shape == (4000, ndim)
+    assert np.all(np.abs(s.mean(axis=0) - 0.5) < 0.02)
+    assert np.all(np.abs(s.std(axis=0) - sigma) < 0.02)
+
+
+def test_reproducible_with_same_key():
+    ll = gaussian_loglike(0.05, 2)
+    cfg = NSConfig(ndim=2, nlive=100, max_samples=10000)
+    r1 = nested_sample(ll, jax.random.PRNGKey(7), cfg)
+    r2 = nested_sample(ll, jax.random.PRNGKey(7), cfg)
+    assert float(r1.logz) == float(r2.logz)
+    assert int(r1.n_like) == int(r2.n_like)
