@@ -1,0 +1,60 @@
+"""Console entry point: ``mc-alf-tpu <config.ini> [--debug]``.
+
+Same interface as the reference's ``mc-alf`` command
+(/root/reference/mcalf/cli.py:46-54): positional config file, ``--debug``
+for verbosity, ``--version``.  The fit runs on the native on-device nested
+sampler regardless of the configured solver name (see
+:mod:`mcalf_tpu.runner`); plotting reads the chain files back, so
+``dofit``/``doplot`` can run in separate invocations exactly as in the
+reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from mcalf_tpu import __version__
+from mcalf_tpu.config import readconfig
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="mc-alf-tpu")
+    parser.add_argument("--debug", action="store_true")
+    parser.add_argument(
+        "--version", action="version", version=f"mc-alf-tpu {__version__}"
+    )
+    parser.add_argument("config")
+    args = parser.parse_args(argv)
+
+    configpars = readconfig(args.config)
+
+    print(f"MC-ALF-TPU version {__version__}")
+    if args.debug:
+        print("--- DEBUG mode, increased verbosity ---")
+
+    os.makedirs(configpars["chaindir"], exist_ok=True)
+    os.makedirs(configpars["plotdir"], exist_ok=True)
+
+    # Heavy imports after arg parsing so --help/--version stay fast.
+    from mcalf_tpu.runner import build_model, run_fit
+    from mcalf_tpu.plotting import run_plot
+
+    model = build_model(configpars, debug=args.debug)
+    if args.debug:
+        print(
+            f"[DEBUG]: ndim={model.ndim}, npix={model.npix}, "
+            f"velstep={model.velstep:.5f} km/s, lines={[l.name for l in model.lines]}"
+        )
+
+    if configpars["dofit"]:
+        run_fit(configpars, debug=args.debug, model=model)
+
+    if configpars["doplot"]:
+        run_plot(configpars, debug=args.debug, model=model)
+
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

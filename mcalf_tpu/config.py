@@ -1,0 +1,149 @@
+"""INI configuration system, compatible with the reference's config files.
+
+Same sections/keys/defaults as the reference ``readconfig``
+(/root/reference/mcalf/routines/hires_fitter.py:762-969), with the bugs
+catalogued in SURVEY.md section 5.6 fixed rather than replicated:
+
+* default ``chainfmt`` is a *valid* format string (the reference default
+  ``'pc_fits_{}_{1}'`` is malformed, :835);
+* ``nmaxcols`` parses the full integer (the reference reads only the first
+  character, :886);
+* ``mn_settings`` is exposed under the key the CLI actually reads;
+* solver settings sections are normalized so every solver name maps onto the
+  native on-device sampler with its own section's tuning applied.
+
+Extensions over the reference (all optional keys):
+* ``[input] atomfile``  -- extra/override atomic data (see mcalf_tpu.atomic);
+* ``[ns_settings]``     -- direct tuning of the native sampler;
+* ``[run] seed``        -- RNG seed (default 43, the reference's jaxns key,
+  cli.py:280);
+* ``[run] checkpoint``  -- sampler-state checkpoint directory.
+"""
+
+from __future__ import annotations
+
+import configparser
+from typing import Any, Dict
+
+import numpy as np
+
+__all__ = ["readconfig"]
+
+_BOOL = {"True": True, "False": False}
+
+
+def _floats(s: str) -> np.ndarray:
+    return np.array([x.strip() for x in s.split(",")], dtype=float)
+
+
+def _settings_dict(cp: configparser.ConfigParser, section: str) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for opt in cp.options(section):
+        val = cp.get(section, opt)
+        out[opt] = _BOOL[val] if val in _BOOL else val
+    return out
+
+
+def readconfig(configfile: str) -> Dict[str, Any]:
+    """Parse a fit configuration file into the flat run-params dict
+    (reference ``readconfig`` interface, hires_fitter.py:762-969)."""
+    cp = configparser.ConfigParser()
+    read = cp.read(configfile)
+    if not read:
+        raise FileNotFoundError(f"Config file not found or empty: {configfile!r}")
+
+    # --- mandatory [input] keys -------------------------------------------
+    if not cp.has_option("input", "specfile"):
+        raise configparser.NoOptionError("specfile", "input")
+    if not cp.has_option("input", "wavefit"):
+        raise configparser.NoOptionError("wavefit", "input")
+    toks = cp.get("input", "wavefit").split(",")
+    if len(toks) % 2 == 1:
+        raise ValueError("Number of wavefit values must be even")
+    wavefit = [
+        (float(toks[2 * i]), float(toks[2 * i + 1])) for i in range(len(toks) // 2)
+    ]
+    if not cp.has_option("input", "linelist"):
+        raise configparser.NoOptionError("linelist", "input")
+    linelist = [x.strip() for x in cp.get("input", "linelist").split(",")]
+
+    def get(section, key, default=None, conv=None):
+        if cp.has_option(section, key):
+            v = cp.get(section, key)
+            return conv(v) if conv else v
+        return default
+
+    coldef = [
+        x.strip()
+        for x in get("input", "coldef", "Wave, Flux, Err").split(",")
+    ]
+    specres = get("input", "specres", np.array([7.0]), _floats)
+    asymmlike = get("input", "asymmlike", False, lambda v: _BOOL[v])
+    solver = get("input", "solver", "polychord")
+    atomfile = get("input", "atomfile", None)
+
+    datadir = get("pathing", "datadir", "./")
+    outdir = get("pathing", "outdir", "./")
+    chaindir = outdir + get("pathing", "chaindir", "fits/")
+    plotdir = outdir + get("pathing", "plotdir", "plots/")
+    chainfmt = get("pathing", "chainfmt", "pc_fits_{0}")
+
+    ncomp = get(
+        "components", "ncomp", np.array((1, 1), dtype=int),
+        lambda v: np.array(v.split(","), dtype=int),
+    )
+    nfill = get("components", "nfill", 0, int)
+    contval = get("components", "contval", np.array([1.0]), _floats)
+    Nrange = get("components", "Nrange", np.array((11.5, 16.0)), _floats)
+    brange = get("components", "brange", np.array((1.0, 30.0)), _floats)
+    zrange = get("components", "zrange", None, _floats)
+    Nrangefill = get("components", "Nrangefill", np.array((11.5, 16.0)), _floats)
+    brangefill = get("components", "brangefill", np.array((1.0, 30.0)), _floats)
+    wrangefill = get("components", "wrangefill", None, _floats)
+
+    nmaxcols = get("plots", "nmaxcols", 5, int)
+    yrange = get("plots", "yrange", np.array((-0.1, 1.2)), _floats)
+
+    dofit = get("run", "dofit", True, lambda v: _BOOL[v])
+    doplot = get("run", "doplot", True, lambda v: _BOOL[v])
+    showprogress = get("run", "showprogress", False, lambda v: _BOOL[v])
+    device = get("run", "device", "cpu")
+    seed = get("run", "seed", 43, int)
+    checkpoint = get("run", "checkpoint", None)
+
+    run_params: Dict[str, Any] = {
+        "specfile": datadir + cp.get("input", "specfile"),
+        "wavefit": wavefit,
+        "linelist": linelist,
+        "coldef": coldef,
+        "asymmlike": asymmlike,
+        "solver": solver,
+        "specres": specres,
+        "atomfile": atomfile,
+        "chaindir": chaindir,
+        "plotdir": plotdir,
+        "chainfmt": chainfmt,
+        "ncomp": ncomp,
+        "nfill": nfill,
+        "Nrange": Nrange,
+        "brange": brange,
+        "zrange": zrange,
+        "Nrangefill": Nrangefill,
+        "brangefill": brangefill,
+        "wrangefill": wrangefill,
+        "contval": contval,
+        "nmaxcols": nmaxcols,
+        "yrange": yrange,
+        "dofit": dofit,
+        "doplot": doplot,
+        "showprogress": showprogress,
+        "device": device,
+        "seed": seed,
+        "checkpoint": checkpoint,
+    }
+
+    for section in ("mn_settings", "pc_settings", "jaxns_settings", "ns_settings"):
+        if cp.has_section(section):
+            run_params[section] = _settings_dict(cp, section)
+
+    return run_params

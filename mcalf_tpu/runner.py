@@ -1,0 +1,221 @@
+"""Fit orchestration: config dict -> model -> sampler -> chain files.
+
+This is the engine behind the CLI (the reference spreads it across the
+solver branches of /root/reference/mcalf/cli.py:71-329).  Every solver name
+the reference accepts ('polychord', 'dypolychord', 'multinest', 'dynesty',
+'jaxns') runs on the SAME native on-device nested sampler here -- the name
+selects which settings section tunes it, so existing config files work
+unchanged.  The native section ``[ns_settings]`` exposes the sampler
+directly.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from mcalf_tpu.atomic import load_atomfile
+from mcalf_tpu.io.chains import write_equal_weights, write_stats
+from mcalf_tpu.models import AbsorptionModel, make_jax_forward
+from mcalf_tpu.sampler import (
+    NSConfig,
+    NSResults,
+    equal_weights_matrix,
+    finalize,
+    init_state,
+    is_done,
+    nested_sample,
+    resample_equal,
+    run_steps,
+)
+from mcalf_tpu.utils.checkpoint import latest_checkpoint, load_state, save_state
+from mcalf_tpu.utils.profiling import phase_timer
+
+KNOWN_SOLVERS = (
+    "polychord",
+    "dypolychord",
+    "multinest",
+    "dynesty",
+    "jaxns",
+    "ns",
+    "native",
+    "tpu-ns",
+)
+
+
+def build_model(configpars: Dict[str, Any], debug: bool = False) -> AbsorptionModel:
+    """Instantiate the fit model from a run-params dict (the reference's
+    ``als_fitter(...)`` construction, cli.py:73-78)."""
+    if configpars.get("atomfile"):
+        load_atomfile(configpars["atomfile"])
+    return AbsorptionModel.from_file(
+        configpars["specfile"],
+        fitrange=configpars["wavefit"],
+        fitlines=configpars["linelist"],
+        ncomp=configpars["ncomp"],
+        nfill=configpars["nfill"],
+        coldef=configpars["coldef"],
+        contval=configpars["contval"],
+        specres=configpars["specres"],
+        Nrange=configpars["Nrange"],
+        brange=configpars["brange"],
+        zrange=configpars["zrange"],
+        Nrangefill=configpars["Nrangefill"],
+        brangefill=configpars["brangefill"],
+        wrangefill=configpars["wrangefill"],
+        Asymmlike=configpars["asymmlike"],
+        debug=debug,
+    )
+
+
+def solver_nsconfig(configpars: Dict[str, Any], ndim: int) -> Tuple[NSConfig, int]:
+    """Map a solver name + its settings section onto the native sampler.
+
+    Returns (NSConfig, resample_S).  Defaults per solver mirror the
+    reference's defaults for that backend:
+    * polychord/dypolychord: nlive=100, num_repeats=20, precision 1e-3
+      (cli.py:91-93)
+    * multinest: nlive=1000, evidence_tolerance=0.1 (cli.py:170-182)
+    * dynesty: nlive=500 (dynesty's default)
+    * jaxns: nlive=500, max_samples=1e5, difficult_model=False
+      (cli.py:259)
+    """
+    solver = configpars.get("solver", "polychord")
+    if solver not in KNOWN_SOLVERS:
+        raise ValueError(
+            f"Requested solver {solver!r} not implemented; known: {KNOWN_SOLVERS}"
+        )
+
+    nlive, num_repeats, precision = 100, 0, 1e-3
+    max_samples, difficult = 20000, False
+    num_delete = 0
+
+    if solver in ("polychord", "dypolychord"):
+        s = configpars.get("pc_settings", {})
+        nlive = int(s.get("nlive", 100))
+        num_repeats = int(s.get("num_repeats", 20))
+        precision = float(s.get("precision_criterion", 1e-3))
+    elif solver == "multinest":
+        s = configpars.get("mn_settings", {})
+        nlive = int(s.get("nlive", 1000))
+        precision = float(s.get("evidence_tolerance", 0.1))
+    elif solver == "dynesty":
+        nlive = 500
+    elif solver == "jaxns":
+        s = configpars.get("jaxns_settings", {})
+        max_samples = int(float(s.get("max_samples", 1e5)))
+        nlive = int(s.get("num_live_points", 500))
+        difficult = bool(s.get("difficult_model", False))
+
+    # Native overrides apply on top for any solver.
+    s = configpars.get("ns_settings", {})
+    nlive = int(s.get("nlive", nlive))
+    num_repeats = int(s.get("num_repeats", num_repeats))
+    num_delete = int(s.get("num_delete", num_delete))
+    precision = float(s.get("precision_criterion", precision))
+    max_samples = int(float(s.get("max_samples", max_samples)))
+    difficult = bool(s.get("difficult_model", difficult))
+
+    cfg = NSConfig(
+        ndim=ndim,
+        nlive=nlive,
+        num_delete=num_delete,
+        num_repeats=num_repeats,
+        precision_criterion=precision,
+        max_samples=max_samples,
+        difficult_model=difficult,
+    )
+    resample_S = max_samples if solver == "jaxns" else 0  # 0 -> use n_dead
+    return cfg, resample_S
+
+
+def chain_basename(configpars: Dict[str, Any]) -> str:
+    """``chaindir + chainfmt.format(nfill)`` (reference cli.py:293,324)."""
+    return os.path.join(
+        configpars["chaindir"], configpars["chainfmt"].format(configpars["nfill"])
+    )
+
+
+def run_fit(
+    configpars: Dict[str, Any],
+    debug: bool = False,
+    model: Optional[AbsorptionModel] = None,
+) -> Tuple[NSResults, str]:
+    """Run the fit and write `.stats` + `_equal_weights.txt`.
+
+    Returns (NSResults, chain basename)."""
+    import jax
+
+    if model is None:
+        model = build_model(configpars, debug=debug)
+    fwd = make_jax_forward(model)
+    cfg, resample_S = solver_nsconfig(configpars, model.ndim)
+
+    if debug:
+        print(
+            f"[DEBUG]: native NS with nlive={cfg.nlive}, "
+            f"num_repeats={cfg.resolved().num_repeats}, "
+            f"num_delete={cfg.resolved().num_delete}, "
+            f"max_samples={cfg.max_samples}, "
+            f"precision={cfg.precision_criterion}, ndim={model.ndim}"
+        )
+
+    seed = int(configpars.get("seed", 43))
+    ckpt_dir = configpars.get("checkpoint")
+    showprogress = bool(configpars.get("showprogress", False))
+
+    t0 = datetime.datetime.now()
+    with phase_timer("nested_sampling"):
+        if ckpt_dir or showprogress:
+            # Chunked stepping: periodic checkpoints + live progress
+            # (bit-identical to the single-shot path; see
+            # tests/test_checkpoint.py).
+            rcfg = cfg.resolved()
+            state = None
+            if ckpt_dir:
+                prev = latest_checkpoint(ckpt_dir)
+                if prev is not None:
+                    print(f"Resuming from checkpoint {prev}")
+                    state = load_state(prev)
+            if state is None:
+                state = init_state(fwd.loglike_cube, jax.random.PRNGKey(seed), rcfg)
+            chunk = max(1, 2000 // max(rcfg.num_delete, 1))
+            while not is_done(state, rcfg):
+                state = run_steps(fwd.loglike_cube, state, rcfg, state.step + chunk)
+                if showprogress:
+                    print(
+                        f"  step {int(state.step):5d}  n_dead={int(state.n_dead):6d}"
+                        f"  logZ={float(state.logz):.3f}  logX={float(state.logx):.2f}"
+                    )
+                if ckpt_dir:
+                    save_state(
+                        os.path.join(ckpt_dir, f"ns_state_{int(state.step):06d}.npz"),
+                        state,
+                    )
+            res = finalize(fwd.loglike_cube, state, rcfg)
+        else:
+            res = nested_sample(fwd.loglike_cube, jax.random.PRNGKey(seed), cfg)
+        jax.block_until_ready(res.logz)
+    t1 = datetime.datetime.now()
+    print("Execution time {}".format(t1 - t0))
+
+    if int(res.termination_reason) != 0:
+        print(
+            "WARNING: sampler hit max_samples before the evidence converged; "
+            "consider raising max_samples."
+        )
+
+    os.makedirs(configpars["chaindir"], exist_ok=True)
+    base = chain_basename(configpars)
+    write_stats(base + ".stats", float(res.logz), float(res.logzerr))
+
+    S = resample_S if resample_S > 0 else int(res.n_dead)
+    su, logl = resample_equal(jax.random.PRNGKey(42), res, S)
+    params = np.asarray(fwd.cube_to_params(su), np.float64)
+    matrix = equal_weights_matrix(params, np.asarray(logl))
+    write_equal_weights(base + "_equal_weights.txt", matrix)
+    print(f"Saved results to {base}_equal_weights.txt")
+    return res, base

@@ -2,8 +2,12 @@ from mcalf_tpu.sampler.nested import (
     NSConfig,
     NSResults,
     NSState,
+    finalize,
+    init_state,
+    is_done,
     make_sampler,
     nested_sample,
+    run_steps,
 )
 from mcalf_tpu.sampler.results import (
     equal_weights_matrix,
@@ -15,8 +19,12 @@ __all__ = [
     "NSConfig",
     "NSResults",
     "NSState",
+    "finalize",
+    "init_state",
+    "is_done",
     "make_sampler",
     "nested_sample",
+    "run_steps",
     "equal_weights_matrix",
     "posterior_stats",
     "resample_equal",

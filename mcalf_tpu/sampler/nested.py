@@ -121,7 +121,9 @@ def nested_sample(
     loglike_batch: Callable,
     key: jax.Array,
     config: NSConfig,
-) -> NSResults:
+    state: Optional[NSState] = None,
+    return_state: bool = False,
+):
     """Run nested sampling entirely on device.
 
     Parameters
@@ -131,29 +133,31 @@ def nested_sample(
         inside; see :meth:`JaxForward.loglike_cube`).
     key : PRNG key
     config : NSConfig
+    state : resume from this NSState (e.g. a loaded checkpoint) instead of
+        drawing fresh live points; ``key`` is ignored then.
+    return_state : also return the final NSState (for checkpointing).
 
-    Returns NSResults (device arrays; pull with np.asarray as needed).
+    Returns NSResults (device arrays; pull with np.asarray as needed), or
+    (NSResults, NSState) when ``return_state``.
     """
     cfg = config.resolved()
-    return _nested_sample_impl(loglike_batch, key, cfg)
+    if state is None:
+        state = init_state(loglike_batch, key, cfg)
+    state = run_steps(loglike_batch, state, cfg, jnp.int32(2**30))
+    results = finalize(loglike_batch, state, cfg)
+    return (results, state) if return_state else results
 
 
 @partial(jax.jit, static_argnums=(0, 2))
-def _nested_sample_impl(loglike_batch, key, cfg: NSConfig):
-    ndim, nlive, B = cfg.ndim, cfg.nlive, cfg.num_delete
-    cap = int(cfg.max_samples)
+def init_state(loglike_batch, key, config: NSConfig) -> NSState:
+    """Draw the initial live-point set and empty dead buffers."""
+    cfg = config.resolved()
+    ndim, nlive, cap = cfg.ndim, cfg.nlive, int(cfg.max_samples)
     f32 = jnp.float32
-
     key, k0 = jax.random.split(key)
     live_u = jax.random.uniform(k0, (nlive, ndim), dtype=f32)
     live_logl = loglike_batch(live_u)
-
-    # Sequential shrinkage factors for a batch of B deletions:
-    # d ln X_j = -1/(nlive - j), j = 0..B-1.
-    dlogx = -1.0 / (nlive - jnp.arange(B, dtype=f32))          # (B,)
-    cum_dlogx = jnp.cumsum(dlogx)                               # (B,)
-
-    state = NSState(
+    return NSState(
         key=key,
         live_u=live_u,
         live_logl=live_logl,
@@ -167,21 +171,48 @@ def _nested_sample_impl(loglike_batch, key, cfg: NSConfig):
         step=jnp.int32(0),
     )
 
-    log_eps = jnp.log(f32(cfg.precision_criterion))
 
-    def remaining_logz(s: NSState):
-        # Upper estimate of the evidence still in the live set.
-        return (
-            jax.scipy.special.logsumexp(s.live_logl)
-            - jnp.log(f32(nlive))
-            + s.logx
-        )
+def _remaining_logz(s: NSState, nlive: int):
+    # Upper estimate of the evidence still in the live set.
+    return (
+        jax.scipy.special.logsumexp(s.live_logl)
+        - jnp.log(jnp.float32(nlive))
+        + s.logx
+    )
+
+
+def _not_done(s: NSState, cfg: NSConfig):
+    B, cap = cfg.num_delete, int(cfg.max_samples)
+    log_eps = jnp.log(jnp.float32(cfg.precision_criterion))
+    not_capped = s.n_dead + B <= cap
+    live_ok = jnp.isfinite(jax.scipy.special.logsumexp(s.live_logl))
+    not_converged = (
+        _remaining_logz(s, cfg.nlive) - jnp.maximum(s.logz, -1e30) > log_eps
+    )
+    return not_capped & (not_converged | ~jnp.isfinite(s.logz)) & live_ok
+
+
+def is_done(state: NSState, config: NSConfig) -> bool:
+    """Host-side: has the run terminated (converged or capped)?"""
+    return not bool(_not_done(state, config.resolved()))
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def run_steps(loglike_batch, state: NSState, config: NSConfig, max_step) -> NSState:
+    """Advance the sampler until termination or ``state.step >= max_step``
+    (chunked stepping enables host-side checkpointing / progress reports)."""
+    cfg = config.resolved()
+    ndim, nlive, B = cfg.ndim, cfg.nlive, cfg.num_delete
+    cap = int(cfg.max_samples)
+    f32 = jnp.float32
+
+    # Sequential shrinkage factors for a batch of B deletions:
+    # d ln X_j = -1/(nlive - j), j = 0..B-1.
+    dlogx = -1.0 / (nlive - jnp.arange(B, dtype=f32))          # (B,)
+    cum_dlogx = jnp.cumsum(dlogx)                               # (B,)
 
     def cond_fn(s: NSState):
-        not_capped = s.n_dead + B <= cap
-        live_ok = jnp.isfinite(jax.scipy.special.logsumexp(s.live_logl))
-        not_converged = remaining_logz(s) - jnp.maximum(s.logz, -1e30) > log_eps
-        return not_capped & (not_converged | ~jnp.isfinite(s.logz)) & live_ok
+        return _not_done(s, cfg) & (s.step < max_step)
 
     def body_fn(s: NSState) -> NSState:
         key = s.key
@@ -295,7 +326,16 @@ def _nested_sample_impl(loglike_batch, key, cfg: NSConfig):
             step=s.step + 1,
         )
 
-    final = jax.lax.while_loop(cond_fn, body_fn, state)
+    return jax.lax.while_loop(cond_fn, body_fn, state)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def finalize(loglike_batch, final: NSState, config: NSConfig) -> NSResults:
+    """Fold the live set in and assemble NSResults from a terminated (or
+    intermediate) state."""
+    cfg = config.resolved()
+    nlive, cap = cfg.nlive, int(cfg.max_samples)
+    f32 = jnp.float32
 
     # ---- fold the live set in (uniform weights X_final/nlive) ----------
     live_logw = jnp.full((nlive,), _uniform_logw(final, nlive), f32)
@@ -319,7 +359,9 @@ def _nested_sample_impl(loglike_batch, key, cfg: NSConfig):
     h = jnp.sum(jnp.where(valid, p * logl_safe, 0.0)) - logz
     logzerr = jnp.sqrt(jnp.maximum(h, 0.0) / nlive)
 
-    converged = remaining_logz(final) - logz <= jnp.log(jnp.float32(cfg.precision_criterion))
+    converged = _remaining_logz(final, nlive) - logz <= jnp.log(
+        jnp.float32(cfg.precision_criterion)
+    )
 
     return NSResults(
         logz=logz,

@@ -1,0 +1,61 @@
+"""Checkpoint / resume: chunked stepping must be bit-identical to one shot,
+and a reloaded checkpoint must continue to the same answer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcalf_tpu.sampler import (
+    NSConfig,
+    finalize,
+    init_state,
+    is_done,
+    nested_sample,
+    run_steps,
+)
+from mcalf_tpu.utils.checkpoint import latest_checkpoint, load_state, save_state
+
+
+def _loglike(sigma=0.05, ndim=2):
+    norm = -0.5 * ndim * np.log(2 * np.pi * sigma**2)
+
+    def f(u):
+        return (norm - 0.5 * jnp.sum((u - 0.5) ** 2, axis=-1) / sigma**2).astype(
+            jnp.float32
+        )
+
+    return f
+
+
+def test_chunked_equals_oneshot():
+    ll = _loglike()
+    cfg = NSConfig(ndim=2, nlive=100, max_samples=8000).resolved()
+    one = nested_sample(ll, jax.random.PRNGKey(0), cfg)
+
+    state = init_state(ll, jax.random.PRNGKey(0), cfg)
+    while not is_done(state, cfg):
+        state = run_steps(ll, state, cfg, state.step + 5)  # 5 outer steps/chunk
+    chunked = finalize(ll, state, cfg)
+
+    assert float(one.logz) == float(chunked.logz)
+    assert int(one.n_like) == int(chunked.n_like)
+
+
+def test_checkpoint_roundtrip_and_resume(tmp_path):
+    ll = _loglike()
+    cfg = NSConfig(ndim=2, nlive=100, max_samples=8000).resolved()
+
+    # Run half-way, checkpoint, reload, finish.
+    state = init_state(ll, jax.random.PRNGKey(0), cfg)
+    state = run_steps(ll, state, cfg, jnp.int32(10))
+    path = str(tmp_path / "ns_state_0010.npz")
+    save_state(path, state)
+    assert latest_checkpoint(str(tmp_path)) == path
+
+    loaded = load_state(path)
+    for a, b in zip(state, loaded):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), "state mismatch"
+
+    res_resumed = nested_sample(ll, jax.random.PRNGKey(99), cfg, state=loaded)
+    res_straight = nested_sample(ll, jax.random.PRNGKey(0), cfg)
+    assert float(res_resumed.logz) == float(res_straight.logz)

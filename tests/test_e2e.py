@@ -1,0 +1,92 @@
+"""End-to-end CLI test: config file -> fit -> chain files -> analysis -> PDF.
+
+Exercises every layer the way a user does (the reference's de-facto
+integration test is fitting its own mocks, SURVEY.md section 4)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mcalf_tpu.analysis import analyze_chains
+from mcalf_tpu.cli import main
+from mcalf_tpu.io.chains import read_stats
+
+
+@pytest.fixture(scope="module")
+def e2e_outputs(tmp_path_factory, testdata_dir):
+    out = tmp_path_factory.mktemp("e2e")
+    cfg = out / "fit.cfg"
+    cfg.write_text(
+        f"""
+[input]
+specfile = civ_mock_spec.txt
+wavefit = 6180,6220
+linelist = CIV 1548, CIV 1550
+coldef = Wave, Flux, Err
+solver = jaxns
+specres = 8.0
+
+[pathing]
+datadir = {testdata_dir}/
+outdir = {out}/
+chainfmt = pc_fits_{{0}}
+
+[components]
+ncomp = 1,1
+contval  = 1
+Nrange = 12.0,14.5
+brange = 10.0, 40.0
+zrange = 2.99, 3.01
+
+[run]
+dofit = True
+doplot = True
+
+[jaxns_settings]
+max_samples = 4000
+num_live_points = 100
+"""
+    )
+    rc = main([str(cfg)])
+    assert rc == 0
+    return out
+
+
+def test_outputs_exist(e2e_outputs):
+    out = e2e_outputs
+    assert os.path.exists(out / "fits" / "pc_fits_0.stats")
+    assert os.path.exists(out / "fits" / "pc_fits_0_equal_weights.txt")
+    assert os.path.exists(out / "plots" / "pc_fits_0.pdf")
+
+
+def test_posterior_recovers_truth(e2e_outputs):
+    base = str(e2e_outputs / "fits" / "pc_fits_0")
+    lnz, err, lhood, post = analyze_chains(base)
+    # Layout: [ncomp, N, z, b]; truth N=13.8, z=3.0, b=15.
+    assert post.shape[1] == 4
+    assert abs(np.nanmedian(post[:, 1]) - 13.8) < 0.05
+    assert abs(np.nanmedian(post[:, 2]) - 3.0) < 1e-4
+    assert abs(np.nanmedian(post[:, 3]) - 15.0) < 1.5
+    assert np.isfinite(lnz) and err > 0
+
+
+def test_stats_format(e2e_outputs):
+    lnz, err = read_stats(str(e2e_outputs / "fits" / "pc_fits_0.stats"))
+    assert 4900 < lnz < 5050  # ll at truth ~ +5002; logZ a bit below
+    assert 0 < err < 1.0
+
+
+def test_refit_with_dofit_false_reuses_chains(e2e_outputs, testdata_dir, capsys):
+    # doplot-only invocation must work from the chain files alone
+    # (fit and analysis communicate only via disk, SURVEY.md 5.4).
+    out = e2e_outputs
+    cfg = out / "plot_only.cfg"
+    cfg.write_text(
+        (out / "fit.cfg").read_text().replace("dofit = True", "dofit = False")
+    )
+    rc = main([str(cfg)])
+    assert rc == 0
+    captured = capsys.readouterr()
+    assert "Ln(z):" in captured.out
+    assert "Ncomp: 01 Occurrence Fraction: 1.000" in captured.out

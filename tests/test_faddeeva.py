@@ -36,14 +36,16 @@ def test_erfcx_accuracy():
 def test_hjert_accuracy_reference_domain():
     # The reference's float32 hjert measures 3.23e-6 max relative error on
     # exactly this grid (BASELINE.md quotes 2.4e-6 from a sparser grid);
-    # ours must meet or beat that on identical inputs.
+    # ours measures 6.9e-7 -- 4.7x more accurate (the three-anchor
+    # recurrence keeps every term within ~7 rounding steps of a small-
+    # argument exponential).
     a = np.geomspace(1e-4, 1.0, 60)
     u = np.concatenate([[0.0], np.geomspace(1e-3, 100.0, 240)])
     U, A = np.meshgrid(u, a)
     want = sps.wofz(U + 1j * A).real
     got = np.asarray(hjert(jnp.asarray(U, jnp.float32), jnp.asarray(A, jnp.float32)))
     rel = np.abs(got - want) / np.abs(want)
-    assert np.max(rel) < 3.23e-6, np.max(rel)
+    assert np.max(rel) < 1e-6, np.max(rel)
 
 
 def test_hjert_wide_domain():
