@@ -49,4 +49,6 @@ def write_equal_weights(path: str, matrix: np.ndarray) -> None:
 
 
 def read_equal_weights(path: str) -> np.ndarray:
-    return np.loadtxt(path, ndmin=2)
+    from mcalf_tpu.native import read_table
+
+    return read_table(path)

@@ -31,10 +31,10 @@ def read_spectrum_table(path: str) -> Dict[str, np.ndarray]:
     2. a bare first non-comment line of non-numeric tokens;
     3. fallback names ``col0, col1, ...``.
     """
+    # Header scan (python, first few lines only); bulk numeric parse goes
+    # through the native C++ reader (mcalf_tpu/native) with numpy fallback.
     header_tokens: List[str] | None = None
-    data_rows: List[List[float]] = []
     pending_comment: List[str] | None = None
-
     with open(path) as fh:
         for raw in fh:
             s = raw.strip()
@@ -46,15 +46,17 @@ def read_spectrum_table(path: str) -> Dict[str, np.ndarray]:
                     pending_comment = toks
                 continue
             toks = s.split()
-            if all(_is_number(t) for t in toks):
-                data_rows.append([float(t) for t in toks])
-            elif header_tokens is None and not data_rows:
+            if not all(_is_number(t) for t in toks):
                 header_tokens = toks
-            # non-numeric rows after data start are ignored
+                continue
+            break  # first data row reached
 
-    if not data_rows:
-        raise ValueError(f"No numeric data found in spectrum file {path!r}")
-    data = np.asarray(data_rows, dtype=np.float64)
+    from mcalf_tpu.native import read_table
+
+    try:
+        data = read_table(path)
+    except ValueError as e:
+        raise ValueError(f"No numeric data found in spectrum file {path!r}") from e
     ncols = data.shape[1]
 
     if header_tokens is None and pending_comment is not None and len(pending_comment) == ncols:

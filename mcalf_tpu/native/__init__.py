@@ -1,0 +1,92 @@
+"""Native (C++) IO acceleration, loaded through ctypes.
+
+Builds ``fastio.cpp`` into a shared library on first use (cached next to the
+source) and exposes :func:`read_table`.  Falls back to numpy parsing when no
+compiler is available -- the framework never *requires* the native path, it
+just gets faster with it.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "fastio.cpp")
+_LIB_PATH = os.path.join(_HERE, "_fastio.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+        "-o", _LIB_PATH, _SRC,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH) or os.path.getmtime(
+            _LIB_PATH
+        ) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.fastio_read_table.restype = ctypes.c_int
+        lib.fastio_read_table.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.fastio_free.argtypes = [ctypes.POINTER(ctypes.c_double)]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def read_table(path: str) -> np.ndarray:
+    """Read a whitespace-separated numeric table ('#' comments and a header
+    line tolerated) into a float64 (rows, cols) array.  Native C++ parser
+    when available, numpy fallback otherwise."""
+    lib = _load()
+    if lib is None:
+        return np.loadtxt(path, ndmin=2)
+    out = ctypes.POINTER(ctypes.c_double)()
+    nrows = ctypes.c_int64()
+    ncols = ctypes.c_int64()
+    rc = lib.fastio_read_table(
+        path.encode(), ctypes.byref(out), ctypes.byref(nrows), ctypes.byref(ncols)
+    )
+    if rc == 1:
+        raise FileNotFoundError(path)
+    if rc != 0:
+        raise ValueError(f"fastio failed to parse {path!r} (code {rc})")
+    try:
+        n, c = nrows.value, ncols.value
+        arr = np.ctypeslib.as_array(out, shape=(n, c)).copy()
+    finally:
+        lib.fastio_free(out)
+    return arr

@@ -1,0 +1,71 @@
+"""Native C++ table reader: correctness vs numpy, fallback, and speed."""
+
+import time
+
+import numpy as np
+import pytest
+
+from mcalf_tpu.io.spectra import load_spectrum, read_spectrum_table
+from mcalf_tpu.native import native_available, read_table
+
+
+def test_native_builds():
+    # g++ is part of the environment; the native path must come up.
+    assert native_available()
+
+
+def test_matches_numpy_loadtxt(tmp_path, rng):
+    data = rng.normal(size=(500, 7))
+    path = str(tmp_path / "table.txt")
+    np.savetxt(path, data, header="a b c d e f g")
+    got = read_table(path)
+    want = np.loadtxt(path, ndmin=2)
+    assert got.shape == want.shape == (500, 7)
+    assert np.array_equal(got, want)
+
+
+def test_handles_comments_and_bare_header(tmp_path):
+    path = str(tmp_path / "t.txt")
+    with open(path, "w") as f:
+        f.write("# a comment\nWave Flux Err\n1 2 3\n# mid comment\n4 5e-1 6\n")
+    got = read_table(path)
+    assert got.shape == (2, 3)
+    assert np.allclose(got, [[1, 2, 3], [4, 0.5, 6]])
+    table = read_spectrum_table(path)
+    assert list(table) == ["Wave", "Flux", "Err"]
+
+
+def test_ragged_rejected(tmp_path):
+    path = str(tmp_path / "bad.txt")
+    with open(path, "w") as f:
+        f.write("1 2 3\n4 5\n")
+    with pytest.raises(ValueError):
+        read_table(path)
+
+
+def test_missing_file():
+    with pytest.raises(FileNotFoundError):
+        read_table("/nonexistent/nope.txt")
+
+
+def test_reference_mocks_roundtrip(testdata_dir):
+    wave, flux, err = load_spectrum(f"{testdata_dir}/civ_mock_spec.txt")
+    assert wave.shape == flux.shape == err.shape
+    assert wave.size > 1900
+    assert np.all(np.diff(wave) > 0)
+
+
+def test_native_speed(tmp_path, rng):
+    # The point of the native path: meaningfully faster than np.loadtxt on a
+    # chain-sized file.
+    data = rng.normal(size=(20000, 36))
+    path = str(tmp_path / "chain.txt")
+    np.savetxt(path, data)
+    t0 = time.perf_counter()
+    a = read_table(path)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    b = np.loadtxt(path, ndmin=2)
+    t_numpy = time.perf_counter() - t0
+    assert np.array_equal(a, b)
+    assert t_native < t_numpy, (t_native, t_numpy)
