@@ -62,10 +62,18 @@ class StaticSpec:
     conv_mode: str
     asymmlike: bool
     has_gpriors: bool
+    #: route tau synthesis through the Pallas TPU kernel
+    use_pallas: bool = False
+    #: run the Pallas kernel in interpret mode (non-TPU backends/tests)
+    pallas_interpret: bool = False
 
 
 def static_spec(
-    model: AbsorptionModel, conv_mode: str = "same_edge", gpriors: bool = False
+    model: AbsorptionModel,
+    conv_mode: str = "same_edge",
+    gpriors: bool = False,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> StaticSpec:
     return StaticSpec(
         ndim=model.ndim,
@@ -78,10 +86,14 @@ def static_spec(
         conv_mode=conv_mode,
         asymmlike=bool(model.asymmlike),
         has_gpriors=bool(gpriors and model.gpriors is not None),
+        use_pallas=bool(use_pallas),
+        pallas_interpret=bool(pallas_interpret),
     )
 
 
-def build_consts(model: AbsorptionModel, gpriors: bool = False) -> Dict[str, Any]:
+def build_consts(
+    model: AbsorptionModel, gpriors: bool = False, use_pallas: bool = False
+) -> Dict[str, Any]:
     """Device-constant data pytree for one fit problem.  All host
     precomputation happens in float64, then casts to f32."""
     tab = model.transition_table()
@@ -132,6 +144,19 @@ def build_consts(model: AbsorptionModel, gpriors: bool = False) -> Dict[str, Any
         c["gp_norm"] = np.float32(
             np.sum(np.where(use, np.log(2.0 * np.pi * sig**2), 0.0))
         )
+
+    if use_pallas:
+        from mcalf_tpu.ops.voigt_pallas import precompute_dsplit
+
+        nujk64 = CCGS / (tab["wrest"] / 1e8)
+        cw64 = CCGS / (model.obj_wl / 1e8)
+        (
+            c["d_hi"],
+            c["d_lo"],
+            c["cw_hi"],
+            c["cw_lo"],
+            c["cw_res"],
+        ) = precompute_dsplit(nujk64, cw64)
     return c
 
 
@@ -171,14 +196,29 @@ def reconstruct_core(p, c, s: StaticSpec):
     active = ((c["comp_id"] < nact[..., None]) | c["is_fill"]).astype(jnp.float32)
 
     T = int(c["pidx"].shape[0])
-    tau = jnp.zeros(p.shape[:-1] + (s.npix,), jnp.float32)
-    for t in range(T):
-        # u(wave) = ((1+z) c/wave - nu_jk)/dnu on a (..., P) block
-        u = (
-            (1.0 + z[..., t : t + 1]) * c["c_over_wave"] - c["nujk"][..., t, None]
-        ) / dnu[..., t : t + 1]
-        H = hjert(u, avoigt[..., t : t + 1])
-        tau = tau + (active[..., t : t + 1] * amp[..., t : t + 1]) * H
+    if s.use_pallas:
+        from mcalf_tpu.ops.voigt_pallas import voigt_tau_pallas
+
+        batch_shape = p.shape[:-1]
+        gain = (active * amp).reshape((-1, T))
+        tau = voigt_tau_pallas(
+            z.reshape((-1, T)),
+            gain,
+            avoigt.reshape((-1, T)),
+            dnu.reshape((-1, T)),
+            (c["d_hi"], c["d_lo"], c["cw_hi"], c["cw_lo"], c["cw_res"]),
+            interpret=s.pallas_interpret,
+        ).reshape(batch_shape + (s.npix,))
+    else:
+        tau = jnp.zeros(p.shape[:-1] + (s.npix,), jnp.float32)
+        for t in range(T):
+            # u(wave) = ((1+z) c/wave - nu_jk)/dnu on a (..., P) block
+            u = (
+                (1.0 + z[..., t : t + 1]) * c["c_over_wave"]
+                - c["nujk"][..., t, None]
+            ) / dnu[..., t : t + 1]
+            H = hjert(u, avoigt[..., t : t + 1])
+            tau = tau + (active[..., t : t + 1] * amp[..., t : t + 1]) * H
 
     flux_model = jnp.exp(-tau)                             # (..., P)
 
@@ -250,15 +290,40 @@ def make_jax_forward(
     model: AbsorptionModel,
     conv_mode: str = "same_edge",
     gpriors: bool = False,
+    use_pallas: str | bool = "auto",
 ) -> JaxForward:
     """Build the device forward model for an :class:`AbsorptionModel`.
 
     ``conv_mode='same_edge'`` reproduces the reference JAX-likelihood
     convolution semantics (parity target for fits); ``'wrap'`` reproduces the
     numpy/plot/mock path on device.
+
+    ``use_pallas``: route tau synthesis through the Pallas TPU kernel
+    (ops/voigt_pallas.py).  'auto' enables it iff the MCALF_TPU_PALLAS env
+    var is set truthy; True forces it (interpret mode off-TPU, for tests).
     """
-    s = static_spec(model, conv_mode=conv_mode, gpriors=gpriors)
-    c = {k: jnp.asarray(v) for k, v in build_consts(model, gpriors=gpriors).items()}
+    import os
+
+    if use_pallas == "auto":
+        use_pallas = os.environ.get("MCALF_TPU_PALLAS", "") not in ("", "0")
+    interpret = False
+    if use_pallas:
+        from mcalf_tpu.ops.voigt_pallas import pallas_supported
+
+        interpret = not pallas_supported()
+    s = static_spec(
+        model,
+        conv_mode=conv_mode,
+        gpriors=gpriors,
+        use_pallas=bool(use_pallas),
+        pallas_interpret=interpret,
+    )
+    c = {
+        k: jnp.asarray(v)
+        for k, v in build_consts(
+            model, gpriors=gpriors, use_pallas=bool(use_pallas)
+        ).items()
+    }
 
     return JaxForward(
         ndim=model.ndim,
