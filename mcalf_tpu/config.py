@@ -100,6 +100,12 @@ def readconfig(configfile: str) -> Dict[str, Any]:
     Nrangefill = get("components", "Nrangefill", np.array((11.5, 16.0)), _floats)
     brangefill = get("components", "brangefill", np.array((1.0, 30.0)), _floats)
     wrangefill = get("components", "wrangefill", None, _floats)
+    # Gaussian priors: flat comma list alternating (value, sigma) per
+    # dimension, 'none' for unconstrained -- the reference's Gpriors format
+    # (hires_fitter.py:225-230), which its CLI never exposed; we do.
+    gpriors = get(
+        "components", "gpriors", None, lambda v: [x.strip() for x in v.split(",")]
+    )
 
     nmaxcols = get("plots", "nmaxcols", 5, int)
     yrange = get("plots", "yrange", np.array((-0.1, 1.2)), _floats)
@@ -131,6 +137,7 @@ def readconfig(configfile: str) -> Dict[str, Any]:
         "Nrangefill": Nrangefill,
         "brangefill": brangefill,
         "wrangefill": wrangefill,
+        "gpriors": gpriors,
         "contval": contval,
         "nmaxcols": nmaxcols,
         "yrange": yrange,

@@ -66,6 +66,7 @@ def build_model(configpars: Dict[str, Any], debug: bool = False) -> AbsorptionMo
         Nrangefill=configpars["Nrangefill"],
         brangefill=configpars["brangefill"],
         wrangefill=configpars["wrangefill"],
+        Gpriors=configpars.get("gpriors"),
         Asymmlike=configpars["asymmlike"],
         debug=debug,
     )
@@ -151,7 +152,7 @@ def run_fit(
 
     if model is None:
         model = build_model(configpars, debug=debug)
-    fwd = make_jax_forward(model)
+    fwd = make_jax_forward(model, gpriors=model.gpriors is not None)
     cfg, resample_S = solver_nsconfig(configpars, model.ndim)
 
     if debug:
@@ -169,35 +170,34 @@ def run_fit(
 
     t0 = datetime.datetime.now()
     with phase_timer("nested_sampling"):
-        if ckpt_dir or showprogress:
-            # Chunked stepping: periodic checkpoints + live progress
-            # (bit-identical to the single-shot path; see
-            # tests/test_checkpoint.py).
-            rcfg = cfg.resolved()
-            state = None
+        # Chunked stepping is always on (nested_sample auto-tunes the chunk
+        # size and is bit-identical to an uninterrupted run); checkpoints and
+        # progress hang off the per-chunk callback.
+        state = None
+        if ckpt_dir:
+            prev = latest_checkpoint(ckpt_dir)
+            if prev is not None:
+                print(f"Resuming from checkpoint {prev}")
+                state = load_state(prev)
+
+        def on_chunk(s):
+            if showprogress:
+                print(
+                    f"  step {int(s.step):5d}  n_dead={int(s.n_dead):6d}"
+                    f"  logZ={float(s.logz):.3f}  logX={float(s.logx):.2f}"
+                )
             if ckpt_dir:
-                prev = latest_checkpoint(ckpt_dir)
-                if prev is not None:
-                    print(f"Resuming from checkpoint {prev}")
-                    state = load_state(prev)
-            if state is None:
-                state = init_state(fwd.loglike_cube, jax.random.PRNGKey(seed), rcfg)
-            chunk = max(1, 2000 // max(rcfg.num_delete, 1))
-            while not is_done(state, rcfg):
-                state = run_steps(fwd.loglike_cube, state, rcfg, state.step + chunk)
-                if showprogress:
-                    print(
-                        f"  step {int(state.step):5d}  n_dead={int(state.n_dead):6d}"
-                        f"  logZ={float(state.logz):.3f}  logX={float(state.logx):.2f}"
-                    )
-                if ckpt_dir:
-                    save_state(
-                        os.path.join(ckpt_dir, f"ns_state_{int(state.step):06d}.npz"),
-                        state,
-                    )
-            res = finalize(fwd.loglike_cube, state, rcfg)
-        else:
-            res = nested_sample(fwd.loglike_cube, jax.random.PRNGKey(seed), cfg)
+                save_state(
+                    os.path.join(ckpt_dir, f"ns_state_{int(s.step):06d}.npz"), s
+                )
+
+        res = nested_sample(
+            fwd.loglike_cube,
+            jax.random.PRNGKey(seed),
+            cfg,
+            state=state,
+            on_chunk=on_chunk if (ckpt_dir or showprogress) else None,
+        )
         jax.block_until_ready(res.logz)
     t1 = datetime.datetime.now()
     print("Execution time {}".format(t1 - t0))

@@ -123,8 +123,19 @@ def nested_sample(
     config: NSConfig,
     state: Optional[NSState] = None,
     return_state: bool = False,
+    chunk_steps: Optional[int] = None,
+    on_chunk: Optional[Callable[[NSState], None]] = None,
 ):
-    """Run nested sampling entirely on device.
+    """Run nested sampling on device, stepping in bounded chunks.
+
+    The outer loop advances in chunks of outer steps from a host loop.
+    Chunking is *bit-identical* to a single uninterrupted run
+    (tests/test_checkpoint.py) -- it exists so no single device execution
+    runs unboundedly long (robust against runtime watchdogs; also the
+    natural place for checkpoints/progress, see mcalf_tpu.runner).  The
+    chunk size is auto-tuned from the measured first-chunk wall time to
+    target ~15 s per device call, or fixed via ``chunk_steps`` /
+    the MCALF_TPU_NS_CHUNK env var.
 
     Parameters
     ----------
@@ -136,14 +147,51 @@ def nested_sample(
     state : resume from this NSState (e.g. a loaded checkpoint) instead of
         drawing fresh live points; ``key`` is ignored then.
     return_state : also return the final NSState (for checkpointing).
+    on_chunk : optional host callback invoked with the NSState after every
+        chunk (progress reporting, periodic checkpointing).
 
     Returns NSResults (device arrays; pull with np.asarray as needed), or
     (NSResults, NSState) when ``return_state``.
     """
+    import os
+    import time
+
     cfg = config.resolved()
     if state is None:
         state = init_state(loglike_batch, key, cfg)
-    state = run_steps(loglike_batch, state, cfg, jnp.int32(2**30))
+
+    if chunk_steps is None:
+        env = os.environ.get("MCALF_TPU_NS_CHUNK", "")
+        chunk_steps = int(env) if env else 0
+
+    target_s = 15.0
+    probe = 4
+    chunk = chunk_steps
+    while not is_done(state, cfg):
+        if chunk <= 0:
+            # Two probe chunks: the first pays the compile, the second is the
+            # timing sample.  Round the derived size to a power of two so
+            # repeated runs reuse one compiled executable per size.
+            state = run_steps(loglike_batch, state, cfg, probe)
+            jax.block_until_ready(state.logz)
+            if on_chunk is not None:
+                on_chunk(state)
+            if is_done(state, cfg):
+                break
+            t0 = time.perf_counter()
+            state = run_steps(loglike_batch, state, cfg, probe)
+            jax.block_until_ready(state.logz)
+            per = max((time.perf_counter() - t0) / probe, 1e-4)
+            chunk = 1 << max(0, int(np.log2(max(target_s / per, 1.0))))
+            chunk = min(chunk, 4096)
+            if on_chunk is not None:
+                on_chunk(state)
+            continue
+        state = run_steps(loglike_batch, state, cfg, chunk)
+        jax.block_until_ready(state.logz)
+        if on_chunk is not None:
+            on_chunk(state)
+
     results = finalize(loglike_batch, state, cfg)
     return (results, state) if return_state else results
 
@@ -197,10 +245,11 @@ def is_done(state: NSState, config: NSConfig) -> bool:
     return not bool(_not_done(state, config.resolved()))
 
 
-@partial(jax.jit, static_argnums=(0, 2))
-def run_steps(loglike_batch, state: NSState, config: NSConfig, max_step) -> NSState:
-    """Advance the sampler until termination or ``state.step >= max_step``
-    (chunked stepping enables host-side checkpointing / progress reports)."""
+@partial(jax.jit, static_argnums=(0, 2, 3))
+def run_steps(loglike_batch, state: NSState, config: NSConfig, num_steps: int) -> NSState:
+    """Advance the sampler until termination or ``num_steps`` further outer
+    steps (a *static* budget; chunked stepping enables host-side
+    checkpointing / progress reports)."""
     cfg = config.resolved()
     ndim, nlive, B = cfg.ndim, cfg.nlive, cfg.num_delete
     cap = int(cfg.max_samples)
@@ -211,8 +260,9 @@ def run_steps(loglike_batch, state: NSState, config: NSConfig, max_step) -> NSSt
     dlogx = -1.0 / (nlive - jnp.arange(B, dtype=f32))          # (B,)
     cum_dlogx = jnp.cumsum(dlogx)                               # (B,)
 
-    def cond_fn(s: NSState):
-        return _not_done(s, cfg) & (s.step < max_step)
+    def cond_fn(carry):
+        s, k = carry
+        return _not_done(s, cfg) & (k < num_steps)
 
     def body_fn(s: NSState) -> NSState:
         key = s.key
@@ -242,9 +292,15 @@ def run_steps(loglike_batch, state: NSState, config: NSConfig, max_step) -> NSSt
         # ---- replacement: slice sampling from random survivors ---------
         surv_u = s.live_u[surv]                           # (nlive-B, ndim)
         surv_logl = s.live_logl[surv]
-        # Diagonal whitening scale from survivor spread (fallback to full
-        # cube early on when spread is ~uniform).
-        scale = jnp.std(surv_u, axis=0) + 1e-6            # (ndim,)
+        # Affine whitening from the survivor covariance (PolyChord-style):
+        # slice directions d = L n, n ~ N(0, I), align with the local
+        # posterior geometry, so fewer repeats are needed to decorrelate
+        # than with axis-aligned or diagonal proposals.
+        nsurv = surv_u.shape[0]
+        centered = surv_u - jnp.mean(surv_u, axis=0)
+        cov = centered.T @ centered / (nsurv - 1)
+        cov = cov + 1e-10 * jnp.eye(ndim, dtype=f32)
+        chol = jnp.linalg.cholesky(cov)                   # (ndim, ndim)
 
         key, kstart = jax.random.split(key)
         start_idx = jax.random.randint(kstart, (B,), 0, nlive - B)
@@ -254,8 +310,13 @@ def run_steps(loglike_batch, state: NSState, config: NSConfig, max_step) -> NSSt
         def slice_pass(carry, _):
             u_cur, logl_cur, key, n_like = carry
             key, kd, kr = jax.random.split(key, 3)
-            d = jax.random.normal(kd, (B, ndim), f32) * scale[None, :]
-            d = d / (jnp.linalg.norm(d, axis=1, keepdims=True) + 1e-12)
+            # Unit direction in the whitened frame, mapped through L: |d| is
+            # then ~ the live-point spread along that direction, so the
+            # fixed-width bracket below is in local-posterior units and the
+            # shrink loop converges in O(1) iterations.
+            n = jax.random.normal(kd, (B, ndim), f32)
+            n = n / (jnp.linalg.norm(n, axis=1, keepdims=True) + 1e-12)
+            d = n @ chol.T
             # Random placement of a fixed-width bracket around the current
             # point (Neal 2003): valid shrinkage-only slice kernel.
             r = jax.random.uniform(kr, (B,), f32)
@@ -326,7 +387,12 @@ def run_steps(loglike_batch, state: NSState, config: NSConfig, max_step) -> NSSt
             step=s.step + 1,
         )
 
-    return jax.lax.while_loop(cond_fn, body_fn, state)
+    def body_wrap(carry):
+        s, k = carry
+        return body_fn(s), k + 1
+
+    final, _ = jax.lax.while_loop(cond_fn, body_wrap, (state, jnp.int32(0)))
+    return final
 
 
 @partial(jax.jit, static_argnums=(0, 2))

@@ -1,3 +1,14 @@
+from mcalf_tpu.utils.checkpoint import latest_checkpoint, load_state, save_state
+from mcalf_tpu.utils.profiling import get_timings, phase_timer, reset_timings, trace
 from mcalf_tpu.utils.stats import sigma_clipped_stats
 
-__all__ = ["sigma_clipped_stats"]
+__all__ = [
+    "sigma_clipped_stats",
+    "phase_timer",
+    "get_timings",
+    "reset_timings",
+    "trace",
+    "save_state",
+    "load_state",
+    "latest_checkpoint",
+]

@@ -34,7 +34,7 @@ def test_chunked_equals_oneshot():
 
     state = init_state(ll, jax.random.PRNGKey(0), cfg)
     while not is_done(state, cfg):
-        state = run_steps(ll, state, cfg, state.step + 5)  # 5 outer steps/chunk
+        state = run_steps(ll, state, cfg, 5)  # 5 outer steps per chunk
     chunked = finalize(ll, state, cfg)
 
     assert float(one.logz) == float(chunked.logz)
@@ -47,7 +47,7 @@ def test_checkpoint_roundtrip_and_resume(tmp_path):
 
     # Run half-way, checkpoint, reload, finish.
     state = init_state(ll, jax.random.PRNGKey(0), cfg)
-    state = run_steps(ll, state, cfg, jnp.int32(10))
+    state = run_steps(ll, state, cfg, 10)
     path = str(tmp_path / "ns_state_0010.npz")
     save_state(path, state)
     assert latest_checkpoint(str(tmp_path)) == path
