@@ -28,7 +28,7 @@ from jax import shard_map
 from mcalf_tpu.models.batched import stack_problems
 from mcalf_tpu.models.forward import AbsorptionModel
 from mcalf_tpu.models.jax_model import StaticSpec, loglike_cube_core
-from mcalf_tpu.sampler.nested import NSConfig, NSResults, nested_sample
+from mcalf_tpu.sampler.nested import NSConfig, NSResults, nested_sample_device
 
 __all__ = ["make_mesh", "fit_many", "fit_stacked"]
 
@@ -78,7 +78,7 @@ def fit_stacked(
         local_consts, key = args
         consts = dict(local_consts, **tables)
         ll = partial(loglike_cube_core, c=consts, s=spec)
-        return nested_sample(lambda u: ll(u), key, cfg)
+        return nested_sample_device(lambda u: ll(u), key, cfg)
 
     def shard_body(local_data, local_keys):
         # local_data: pytree with leading axis nprob/nd; run fits

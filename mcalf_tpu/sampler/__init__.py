@@ -1,4 +1,5 @@
 from mcalf_tpu.sampler.nested import (
+    nested_sample_device,
     NSConfig,
     NSResults,
     NSState,
@@ -24,6 +25,7 @@ __all__ = [
     "is_done",
     "make_sampler",
     "nested_sample",
+    "nested_sample_device",
     "run_steps",
     "equal_weights_matrix",
     "posterior_stats",

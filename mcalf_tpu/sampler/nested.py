@@ -196,6 +196,19 @@ def nested_sample(
     return (results, state) if return_state else results
 
 
+def nested_sample_device(loglike_batch, key, config: NSConfig) -> NSResults:
+    """Fully traced single-program nested sampling (no host control flow) --
+    for use under transforms (shard_map / lax.map in
+    :mod:`mcalf_tpu.parallel`).  NOTE: runs the whole fit as one device
+    execution; on runtimes that bound execution length, prefer
+    :func:`nested_sample`."""
+    cfg = config.resolved()
+    state = init_state(loglike_batch, key, cfg)
+    budget = int(cfg.max_samples) // cfg.num_delete + 2
+    state = run_steps(loglike_batch, state, cfg, budget)
+    return finalize(loglike_batch, state, cfg)
+
+
 @partial(jax.jit, static_argnums=(0, 2))
 def init_state(loglike_batch, key, config: NSConfig) -> NSState:
     """Draw the initial live-point set and empty dead buffers."""
