@@ -10,6 +10,7 @@ from mcalf_tpu.sampler.nested import (
     nested_sample,
     run_steps,
 )
+from mcalf_tpu.sampler.merge import MergedRun, merge_results, nlive_of_logl
 from mcalf_tpu.sampler.results import (
     equal_weights_matrix,
     posterior_stats,
@@ -30,4 +31,7 @@ __all__ = [
     "equal_weights_matrix",
     "posterior_stats",
     "resample_equal",
+    "MergedRun",
+    "merge_results",
+    "nlive_of_logl",
 ]

@@ -59,12 +59,14 @@ class NSConfig:
     #: live points deleted + replaced per outer step (TPU batch width)
     num_delete: int = 0  # 0 -> nlive // 4
     #: slice-sampling passes per replacement (decorrelation length)
-    num_repeats: int = 0  # 0 -> 2 * ndim (doubled by difficult_model)
+    num_repeats: int = 0  # 0 -> 2 * ndim (8 * ndim under difficult_model)
     #: stop when Z_live / Z < precision_criterion
     precision_criterion: float = 1e-3
     #: cap on collected dead points (static buffer size)
     max_samples: int = 20000
-    #: max shrink iterations per slice pass (safety bound)
+    #: max shrink iterations per slice pass (chains that don't accept within
+    #: the cap keep their point for that pass -- valid but lazier; capping
+    #: below ~20 measurably hurts mixing on multimodal problems)
     max_shrink: int = 20
     #: initial slice bracket half-width in whitened units
     bracket_width: float = 2.0
@@ -72,11 +74,18 @@ class NSConfig:
     difficult_model: bool = False
 
     def resolved(self) -> "NSConfig":
+        """Fill defaulted fields.  Idempotent: an explicit ``num_repeats`` is
+        used as-is (``difficult_model`` only doubles the *default*), so
+        resolving a resolved config is a no-op."""
         nd = self.num_delete if self.num_delete > 0 else max(1, self.nlive // 4)
         nd = min(nd, self.nlive - 1)
-        nr = self.num_repeats if self.num_repeats > 0 else 2 * self.ndim
-        if self.difficult_model:
-            nr *= 2
+        if self.num_repeats > 0:
+            nr = self.num_repeats
+        else:
+            # 8*ndim for difficult models: validated on the flagship
+            # trans-dimensional fit, where 4*ndim repeats bias logZ ~12 nats
+            # low while 8*ndim runs cluster within systematic scatter.
+            nr = 2 * self.ndim * (4 if self.difficult_model else 1)
         import dataclasses
 
         return dataclasses.replace(self, num_delete=nd, num_repeats=nr)
@@ -88,9 +97,11 @@ class NSState(NamedTuple):
     key: jax.Array
     live_u: jax.Array          # (nlive, ndim)
     live_logl: jax.Array       # (nlive,)
+    live_birth: jax.Array      # (nlive,) birth contour (threshold at creation)
     dead_u: jax.Array          # (cap, ndim)
     dead_logl: jax.Array       # (cap,)
     dead_logw: jax.Array       # (cap,) log prior-mass weight of each dead point
+    dead_birth: jax.Array      # (cap,) birth contour of each dead point
     n_dead: jax.Array          # int32
     logx: jax.Array            # log remaining prior volume
     logz: jax.Array            # accumulated log evidence
@@ -105,6 +116,8 @@ class NSResults(NamedTuple):
     samples_u: jax.Array            # (cap + nlive, ndim) unit-cube samples
     logl: jax.Array                 # (cap + nlive,)
     logw: jax.Array                 # (cap + nlive,) log prior-mass weights
+    birth_logl: jax.Array           # (cap + nlive,) birth contours (for
+                                    # run merging / nlive(L) diagnostics)
     log_posterior_weights: jax.Array  # logw + logl - logz (normalized)
     n_dead: jax.Array               # total entries valid (incl. live fold-in)
     n_like: jax.Array
@@ -222,9 +235,11 @@ def init_state(loglike_batch, key, config: NSConfig) -> NSState:
         key=key,
         live_u=live_u,
         live_logl=live_logl,
+        live_birth=jnp.full((nlive,), -jnp.inf, f32),
         dead_u=jnp.zeros((cap, ndim), f32),
         dead_logl=jnp.full((cap,), -jnp.inf, f32),
         dead_logw=jnp.full((cap,), -jnp.inf, f32),
+        dead_birth=jnp.full((cap,), jnp.inf, f32),
         n_dead=jnp.int32(0),
         logx=f32(0.0),
         logz=f32(-jnp.inf),
@@ -301,6 +316,9 @@ def run_steps(loglike_batch, state: NSState, config: NSConfig, num_steps: int) -
         dead_u = jax.lax.dynamic_update_slice(s.dead_u, dead_u_new, (s.n_dead, 0))
         dead_logl = jax.lax.dynamic_update_slice(s.dead_logl, dead_logl_new, (s.n_dead,))
         dead_logw = jax.lax.dynamic_update_slice(s.dead_logw, logw_new, (s.n_dead,))
+        dead_birth = jax.lax.dynamic_update_slice(
+            s.dead_birth, s.live_birth[worst], (s.n_dead,)
+        )
 
         # ---- replacement: slice sampling from random survivors ---------
         surv_u = s.live_u[surv]                           # (nlive-B, ndim)
@@ -385,14 +403,17 @@ def run_steps(loglike_batch, state: NSState, config: NSConfig, num_steps: int) -
         # ---- rebuild live set ------------------------------------------
         live_u = s.live_u.at[worst].set(u_new)
         live_logl = s.live_logl.at[worst].set(logl_new)
+        live_birth = s.live_birth.at[worst].set(lstar)
 
         return NSState(
             key=key,
             live_u=live_u,
             live_logl=live_logl,
+            live_birth=live_birth,
             dead_u=dead_u,
             dead_logl=dead_logl,
             dead_logw=dead_logw,
+            dead_birth=dead_birth,
             n_dead=s.n_dead + B,
             logx=logx_seq[-1],
             logz=logz,
@@ -425,6 +446,7 @@ def finalize(loglike_batch, final: NSState, config: NSConfig) -> NSResults:
     samples_u = jnp.concatenate([final.dead_u, final.live_u], axis=0)
     logl = jnp.concatenate([final.dead_logl, final.live_logl])
     logw = jnp.concatenate([final.dead_logw, live_logw])
+    birth = jnp.concatenate([final.dead_birth, final.live_birth])
     # Live entries sit at [cap, cap+nlive); mark dead padding invalid.
     valid = jnp.concatenate(
         [jnp.arange(cap) < final.n_dead, jnp.ones((nlive,), bool)]
@@ -449,6 +471,7 @@ def finalize(loglike_batch, final: NSState, config: NSConfig) -> NSResults:
         samples_u=samples_u,
         logl=logl,
         logw=logw,
+        birth_logl=birth,
         log_posterior_weights=log_post,
         n_dead=final.n_dead + nlive,
         n_like=final.n_like,
