@@ -39,7 +39,7 @@ def _find_testdata(name):
     raise FileNotFoundError(name)
 
 
-def _sustained_evals_per_s(fn, arg, iters=40):
+def _make_sustained(fn, arg, iters=40):
     import jax
     import jax.numpy as jnp
 
@@ -51,9 +51,23 @@ def _sustained_evals_per_s(fn, arg, iters=40):
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
     jax.block_until_ready(loop(arg))  # compile
-    t0 = time.perf_counter()
-    jax.block_until_ready(loop(arg))
-    return iters * arg.shape[0] / (time.perf_counter() - t0)
+
+    def measure():
+        t0 = time.perf_counter()
+        jax.block_until_ready(loop(arg))
+        return iters * arg.shape[0] / (time.perf_counter() - t0)
+
+    return measure
+
+
+def _interleaved_best(measures, reps=3):
+    """Alternate the measurements to decorrelate from device-speed drift;
+    take each function's best."""
+    best = [0.0] * len(measures)
+    for _ in range(reps):
+        for i, m in enumerate(measures):
+            best[i] = max(best[i], m())
+    return best
 
 
 def main():
@@ -105,10 +119,12 @@ def main():
     ref_ll = make_reference_style_loglike(model)
     p200 = draw(cfg.nlive)
     p50 = draw(cfg.resolved().num_delete)
-    ours_eps = _sustained_evals_per_s(fwd.loglike, p200)
-    ref_eps = _sustained_evals_per_s(ref_ll, p200)
-    ours_eps_small = _sustained_evals_per_s(fwd.loglike, p50)
-    ref_eps_small = _sustained_evals_per_s(ref_ll, p50)
+    ours_eps, ref_eps = _interleaved_best(
+        [_make_sustained(fwd.loglike, p200), _make_sustained(ref_ll, p200)]
+    )
+    ours_eps_small, ref_eps_small = _interleaved_best(
+        [_make_sustained(fwd.loglike, p50), _make_sustained(ref_ll, p50)]
+    )
 
     print(
         json.dumps(

@@ -19,12 +19,43 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mcalf_tpu.models.forward import CCGS, TAU_CONST, AbsorptionModel
 from mcalf_tpu.ops.convolve import FWHM_TO_SIGMA
-from mcalf_tpu.ops.faddeeva import hjert
+from mcalf_tpu.ops.faddeeva import erfcx, wofz_real_asym
 
 __all__ = ["make_reference_style_loglike"]
+
+
+def _hjert_naive(x, a):
+    """Voigt-Hjerting with the reference's *series structure*: Algorithm 916
+    evaluated with two direct exponentials per term (54 exps/element,
+    voigt_jax.py:90-111) plus the same asymptotic switch -- i.e. without the
+    recurrence optimization our production kernel uses.  Benchmark-only."""
+    an = 0.5 * np.arange(1, 28)
+    r2 = x * x + a * a
+    sel = r2 < 111.0
+    xs = jnp.where(sel, x, 0.0)
+    ys = jnp.where(sel, a, 1.0)
+    xy = xs * ys
+    exx = jnp.exp(-xs * xs)
+    y2 = ys * ys
+    f = exx * (
+        erfcx(ys) * jnp.cos(2.0 * xy)
+        + xs * jnp.sin(xy) / jnp.pi * jnp.sinc(xy / jnp.pi)
+    )
+    s1 = jnp.zeros_like(x)
+    s23 = jnp.zeros_like(x)
+    for n in range(27):
+        denom = 1.0 / (float(an[n] ** 2) + y2)
+        s1 = s1 + float(np.exp(-(an[n] ** 2))) * denom
+        s23 = s23 + (
+            jnp.exp(-((float(an[n]) + xs) ** 2))
+            + jnp.exp(-((float(an[n]) - xs) ** 2))
+        ) * denom
+    near = f + ys / jnp.pi * (-jnp.cos(2.0 * xy) * (exx * s1) + 0.5 * s23)
+    return jnp.where(sel, near, wofz_real_asym(x, a))
 
 
 def make_reference_style_loglike(model: AbsorptionModel):
@@ -61,8 +92,9 @@ def make_reference_style_loglike(model: AbsorptionModel):
         dnu = (b * 1e5) / wrest_cm
         avoigt = gamma / (4 * jnp.pi * dnu)
         uvoigt = ((CCGS / (w_cm / (z + 1.0))) - nujk) / dnu
-        # Scalar hjert vmapped over the pixel axis (the reference pattern).
-        v = jax.vmap(hjert, (0, None))(uvoigt, avoigt)
+        # Scalar hjert vmapped over the pixel axis (the reference pattern),
+        # with the reference's direct-exponential series.
+        v = jax.vmap(_hjert_naive, (0, None))(uvoigt, avoigt)
         return TAU_CONST * cold * f * v / dnu
 
     def reconstruct(p):
