@@ -28,7 +28,16 @@ from jax import shard_map
 from mcalf_tpu.models.batched import stack_problems
 from mcalf_tpu.models.forward import AbsorptionModel
 from mcalf_tpu.models.jax_model import StaticSpec, loglike_cube_core
-from mcalf_tpu.sampler.nested import NSConfig, NSResults, nested_sample_device
+from mcalf_tpu.sampler.nested import (
+    NSConfig,
+    NSResults,
+    NSState,
+    _not_done,
+    finalize,
+    init_state,
+    nested_sample_device,
+    run_steps,
+)
 
 __all__ = ["make_mesh", "fit_many", "fit_stacked"]
 
@@ -55,12 +64,19 @@ def fit_stacked(
     config: NSConfig,
     seed: int = 43,
     mesh: Optional[Mesh] = None,
+    chunk_steps: Optional[int] = None,
 ) -> NSResults:
     """Run one independent nested-sampling fit per stacked problem, sharded
     over the mesh.  Returns NSResults with a leading problem axis.
 
     The number of problems must be a multiple of the mesh size (pad with
-    repeated problems if needed)."""
+    repeated problems if needed).
+
+    ``chunk_steps``: when set, advance all shards in bounded chunks of outer
+    steps from a host loop (keeps every device execution short -- required on
+    runtimes that bound execution length; see CLAUDE.md).  Shards that
+    converge early no-op their remaining chunks.  Bit-identical to the
+    single-shot path."""
     mesh = mesh if mesh is not None else make_mesh()
     axis = mesh.axis_names[0]
     nprob = next(iter(v.shape[0] for k, v in stacked.items() if k not in _STATIC_KEYS))
@@ -73,27 +89,63 @@ def fit_stacked(
     data, tables = _split_static(stacked)
     cfg = config.resolved()
     keys = jax.random.split(jax.random.PRNGKey(seed), nprob)
-
-    def run_one(args):
-        local_consts, key = args
-        consts = dict(local_consts, **tables)
-        ll = partial(loglike_cube_core, c=consts, s=spec)
-        return nested_sample_device(lambda u: ll(u), key, cfg)
-
-    def shard_body(local_data, local_keys):
-        # local_data: pytree with leading axis nprob/nd; run fits
-        # sequentially within the shard, in parallel across shards.
-        return jax.lax.map(run_one, (local_data, local_keys))
-
     data_specs = jax.tree.map(lambda _: P(axis), data)
-    fitter = shard_map(
-        shard_body,
+
+    def _ll(local_consts):
+        consts = dict(local_consts, **tables)
+        return lambda u: loglike_cube_core(u, c=consts, s=spec)
+
+    if chunk_steps is None:
+        def run_one(args):
+            local_consts, key = args
+            return nested_sample_device(_ll(local_consts), key, cfg)
+
+        fitter = shard_map(
+            lambda d, k: jax.lax.map(run_one, (d, k)),
+            mesh=mesh,
+            in_specs=(data_specs, P(axis)),
+            out_specs=P(axis),
+            check_vma=False,
+        )
+        return fitter(data, keys)
+
+    # ---- chunked path ----------------------------------------------------
+    init_fn = shard_map(
+        lambda d, k: jax.lax.map(
+            lambda a: init_state(_ll(a[0]), a[1], cfg), (d, k)
+        ),
         mesh=mesh,
         in_specs=(data_specs, P(axis)),
         out_specs=P(axis),
         check_vma=False,
     )
-    return fitter(data, keys)
+    states = init_fn(data, keys)
+    state_specs = jax.tree.map(lambda _: P(axis), states)
+
+    step_fn = shard_map(
+        lambda d, st: jax.lax.map(
+            lambda a: run_steps(_ll(a[0]), a[1], cfg, chunk_steps), (d, st)
+        ),
+        mesh=mesh,
+        in_specs=(data_specs, state_specs),
+        out_specs=state_specs,
+        check_vma=False,
+    )
+    not_done = jax.jit(jax.vmap(lambda s: _not_done(s, cfg)))
+    while bool(np.any(np.asarray(not_done(states)))):
+        states = step_fn(data, states)
+        jax.block_until_ready(states.logz)
+
+    fin_fn = shard_map(
+        lambda d, st: jax.lax.map(
+            lambda a: finalize(_ll(a[0]), a[1], cfg), (d, st)
+        ),
+        mesh=mesh,
+        in_specs=(data_specs, state_specs),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return fin_fn(data, states)
 
 
 def fit_many(

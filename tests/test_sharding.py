@@ -102,3 +102,18 @@ def test_fleet_results_io(problems, tmp_path):
         assert abs(lnz - summary[i, 0]) < 1e-6
         # truth N=13.8 recovered in each shard's chains
         assert abs(np.nanmedian(post[:, 1]) - 13.8) < 0.1
+
+
+def test_fit_stacked_chunked_matches_single_shot(problems):
+    """The chunked fleet path must be bit-identical to the single-shot
+    fleet path (same per-shard RNG streams)."""
+    from mcalf_tpu.models.batched import stack_problems
+    from mcalf_tpu.parallel import fit_stacked
+
+    spec, stacked = stack_problems(problems[:8])
+    cfg = NSConfig(ndim=problems[0].ndim, nlive=40, max_samples=1000,
+                   precision_criterion=0.2, num_repeats=8)
+    one = fit_stacked(spec, stacked, cfg, seed=5)
+    chk = fit_stacked(spec, stacked, cfg, seed=5, chunk_steps=3)
+    assert np.array_equal(np.asarray(one.logz), np.asarray(chk.logz))
+    assert np.array_equal(np.asarray(one.n_like), np.asarray(chk.n_like))
