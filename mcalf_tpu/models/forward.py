@@ -458,3 +458,13 @@ class AbsorptionModel:
         else:
             max_res = float(np.max(self.specres))
         return kernel_half_size(max_res, self.velstep)
+
+    def get_jax_likelihood(self):
+        """Reference-API convenience (hires_fitter.py:521): returns the
+        jitted device log-likelihood over *physical* parameter vectors,
+        batched over arbitrary leading axes.  Prefer
+        :func:`mcalf_tpu.models.make_jax_forward` for the full bundle
+        (cube transform, reconstruction, chi2)."""
+        from mcalf_tpu.models.jax_model import make_jax_forward
+
+        return make_jax_forward(self).loglike

@@ -24,12 +24,8 @@ from mcalf_tpu.sampler import (
     NSConfig,
     NSResults,
     equal_weights_matrix,
-    finalize,
-    init_state,
-    is_done,
     nested_sample,
     resample_equal,
-    run_steps,
 )
 from mcalf_tpu.utils.checkpoint import latest_checkpoint, load_state, save_state
 from mcalf_tpu.utils.profiling import phase_timer
