@@ -112,7 +112,9 @@ doplot = True
 showprogress = False
 
 [jaxns_settings]
-max_samples = 2000
+# NOTE: the reference ships max_samples = 2000, which caps this 34-dim fit
+# long before the evidence converges (the sampler warns).  40000 converges.
+max_samples = 40000
 num_live_points = 200
 difficult_model = True
 """
