@@ -2,14 +2,21 @@
 """Flagship benchmark: the reference's shipped workload end-to-end on TPU.
 
 Workload (reference testdata/fit.cfg:24-42): trans-dimensional fit of the
-10-component CIV mock with ncomp in [8,11] (ndim=34), nlive=200,
-difficult_model -- run entirely on-device by the native nested sampler with
-max_samples raised to 30000 so the 34-dim evidence actually converges
-(validated: logZ ~ 4846 +/- 0.9, MAP ncomp = 10 at occurrence 1.0).
+10-component CIV mock with ncomp in [8,11] (ndim=34), nlive=200 -- run
+entirely on-device by the native nested sampler with the ground-truth
+calibrated kernel settings (num_repeats=544 = 16*ndim: the round-2 flagship
+study showed 272 under-decorrelates by ~5 nats while 544 is seed-stable;
+see tests/test_truth_anchor.py for the quadrature-anchored calibration).
+
+Two independent seeds are fit and merged via birth-contour run merging
+(sampler/merge.py), so the reported evidence carries an HONEST cross-seed
+check: `extra.logz_seeds` shows the per-seed values, `extra.logz` the
+merged estimate, and `extra.seed_spread` their spread (compare with
+`extra.logzerr`).
 
 Printed JSON:
-* value          -- end-to-end wall-clock of the converged fit [s]
-                    (single run; compiled executables are cached)
+* value          -- end-to-end wall-clock of ONE converged fit [s]
+                    (seed A; compiled executables are cached)
 * vs_baseline    -- sustained-throughput ratio, on the SAME chip, of our
                     sampler's execution pattern (likelihood batched over the
                     deletion block) versus the reference's execution pattern
@@ -19,10 +26,11 @@ Printed JSON:
                     ops/reference_style.py, including its direct-exponential
                     Algorithm-916 series).  The reference publishes no
                     absolute numbers (BASELINE.md), so same-hardware
-                    pattern speedup is the honest comparison.  Same-batch
-                    formulation-only ratios are reported in extra (they are
-                    ~1.0: the win is architectural, not per-element).
-* extra          -- fit logZ/convergence, eval counts, throughputs.
+                    pattern speedup is the honest comparison; the
+                    assumption is recorded in extra.vs_baseline_definition.
+* extra          -- merged/per-seed logZ, convergence, eval counts,
+                    throughputs, a FLOP/s utilization estimate, and a
+                    num_delete batch-width study.
 """
 
 import json
@@ -73,12 +81,24 @@ def _interleaved_best(measures, reps=3):
     return best
 
 
+# Approximate FLOPs of one fused likelihood evaluation (Harris tau path):
+# per (transition, pixel): u assembly ~5 + Harris H ~55 + accumulate 2;
+# plus exp(-tau), 23-tap convolution and the chi^2 reduction per pixel.
+def _flops_per_eval(ntrans, npix, taps):
+    return ntrans * npix * 62 + npix * (2 * taps + 6)
+
+
 def main():
     import jax
 
     from mcalf_tpu.models import AbsorptionModel, make_jax_forward
     from mcalf_tpu.ops.reference_style import make_reference_style_loglike
-    from mcalf_tpu.sampler import NSConfig, nested_sample
+    from mcalf_tpu.sampler import (
+        NSConfig,
+        insertion_rank_test,
+        merge_results,
+        nested_sample,
+    )
 
     model = AbsorptionModel.from_file(
         _find_testdata("civ_mock_spec_multicomp.txt"),
@@ -94,22 +114,27 @@ def main():
     cfg = NSConfig(
         ndim=model.ndim,
         nlive=200,
-        max_samples=40000,
+        num_repeats=544,
+        max_samples=60000,
         precision_criterion=1e-3,
-        difficult_model=True,
     )
 
-    # ---- end-to-end converged fit ---------------------------------------
-    t0 = time.perf_counter()
-    res = nested_sample(fwd.loglike_cube, jax.random.PRNGKey(43), cfg)
-    jax.block_until_ready(res.logz)
-    fit_s = time.perf_counter() - t0
-    n_like = int(res.n_like)
+    # ---- end-to-end converged fits (2 seeds) + merge --------------------
+    runs, times, ranks = [], [], []
+    for seed in (43, 44):
+        t0 = time.perf_counter()
+        res = nested_sample(fwd.loglike_cube, jax.random.PRNGKey(seed), cfg)
+        jax.block_until_ready(res.logz)
+        times.append(time.perf_counter() - t0)
+        runs.append(res)
+        ranks.append(insertion_rank_test(res, cfg).p_value)
+    fit_s = times[0]
+    n_like = int(runs[0].n_like)
+    merged = merge_results(runs)
+    logz_seeds = [round(float(r.logz), 3) for r in runs]
+    seed_spread = round(max(logz_seeds) - min(logz_seeds), 3)
 
     # ---- sustained likelihood throughput vs reference formulation -------
-    # Measured at the live-set width (nlive): the batched production width
-    # for init, resampling, and fleet evaluation.  The deletion-batch width
-    # (num_delete) ratio is reported in extra.
     rng = np.random.default_rng(0)
     lo = np.asarray(fwd.bounds_lo)
     hi = np.asarray(fwd.bounds_hi)
@@ -135,6 +160,30 @@ def main():
         [_make_sustained(ref_ll, p1, iters=300)]
     )
 
+    # ---- num_delete batch-width study (evals/s at fixed quality) --------
+    ndel_study = {}
+    for ndel in (50, 100, 200):
+        c2 = NSConfig(
+            ndim=model.ndim, nlive=max(cfg.nlive, 2 * ndel),
+            num_delete=ndel, num_repeats=64, max_samples=4000,
+        )
+        from mcalf_tpu.sampler import init_state, run_steps
+
+        st = init_state(fwd.loglike_cube, jax.random.PRNGKey(0), c2)
+        st = run_steps(fwd.loglike_cube, st, c2, 3)  # compile + warm
+        jax.block_until_ready(st.logz)
+        t0 = time.perf_counter()
+        st = run_steps(fwd.loglike_cube, st, c2, 10)
+        jax.block_until_ready(st.logz)
+        dt = time.perf_counter() - t0
+        ndel_study[str(ndel)] = round(
+            (int(st.n_like) - c2.nlive * 2) / dt / 1e3
+        )  # kevals/s proxy
+
+    ntrans = int(model.transition_table()["pidx"].size)
+    flops = _flops_per_eval(ntrans, model.npix, 2 * model.kernel_half_size() + 1)
+    fit_eps = n_like / fit_s
+
     print(
         json.dumps(
             {
@@ -143,17 +192,32 @@ def main():
                 "unit": "s",
                 "vs_baseline": round(ours_eps_small / ref_eps_seq, 2),
                 "extra": {
-                    "logz": round(float(res.logz), 3),
-                    "logzerr": round(float(res.logzerr), 3),
-                    "converged": int(res.termination_reason) == 0,
+                    "logz": round(merged.logz, 3),
+                    "logzerr": round(merged.logzerr, 3),
+                    "logz_seeds": logz_seeds,
+                    "seed_spread": seed_spread,
+                    "rank_test_p": [round(p, 4) for p in ranks],
+                    "converged": all(
+                        int(r.termination_reason) == 0 for r in runs
+                    ),
                     "n_like": n_like,
-                    "fit_evals_per_s": round(n_like / fit_s, 1),
+                    "fit_evals_per_s": round(fit_eps, 1),
+                    "est_flops_per_eval": flops,
+                    "est_sustained_tflops": round(fit_eps * flops / 1e12, 3),
                     "fused_likelihood_evals_per_s": round(ours_eps, 1),
                     "reference_style_evals_per_s": round(ref_eps, 1),
                     "reference_sequential_evals_per_s": round(ref_eps_seq, 1),
                     "formulation_ratio_live_batch": round(ours_eps / ref_eps, 2),
                     "formulation_ratio_deletion_batch": round(
                         ours_eps_small / ref_eps_small, 2
+                    ),
+                    "num_delete_kevals_per_s": ndel_study,
+                    "vs_baseline_definition": (
+                        "same-chip sustained-throughput ratio of our "
+                        "deletion-batched evaluation vs the reference's "
+                        "point-sequential pattern (assumes jaxns evaluates "
+                        "sequentially; per-element formulation ratios ~1 "
+                        "are reported separately)"
                     ),
                     "device": str(jax.devices()[0]),
                 },

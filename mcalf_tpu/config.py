@@ -113,7 +113,12 @@ def readconfig(configfile: str) -> Dict[str, Any]:
     dofit = get("run", "dofit", True, lambda v: _BOOL[v])
     doplot = get("run", "doplot", True, lambda v: _BOOL[v])
     showprogress = get("run", "showprogress", False, lambda v: _BOOL[v])
-    device = get("run", "device", "cpu")
+    # The reference defaults device=cpu (hires_fitter.py:962-965) because its
+    # host samplers live there; our fit is the device's whole point, so the
+    # default is the platform JAX picked (TPU when present).  An explicit
+    # ``device = cpu`` forces the fit onto CPU in-process (reference
+    # cli.py:215-216 semantics).
+    device = get("run", "device", "default")
     seed = get("run", "seed", 43, int)
     checkpoint = get("run", "checkpoint", None)
 

@@ -47,7 +47,7 @@ def stack_problems(
     }
     # Layout index tables are identical across problems -- keep them
     # unstacked so gathers stay static.
-    for k in ("pidx", "comp_id", "is_fill"):
+    for k in ("pidx", "comp_id", "is_fill", "u_zidx"):
         stacked[k] = consts[0][k]
     return s0, stacked
 
@@ -57,7 +57,7 @@ def index_consts(stacked: Dict[str, Any], i) -> Dict[str, Any]:
     through)."""
     out = {}
     for k, v in stacked.items():
-        if k in ("pidx", "comp_id", "is_fill"):
+        if k in ("pidx", "comp_id", "is_fill", "u_zidx"):
             out[k] = v
         else:
             out[k] = v[i]

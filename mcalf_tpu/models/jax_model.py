@@ -42,7 +42,7 @@ import numpy as np
 
 from mcalf_tpu.models.forward import CCGS, TAU_CONST, AbsorptionModel
 from mcalf_tpu.ops.convolve import FWHM_TO_SIGMA, gaussian_kernel, lsf_convolve
-from mcalf_tpu.ops.faddeeva import hjert
+from mcalf_tpu.ops.faddeeva import HARRIS_A_MAX, hjert, hjert_harris
 
 
 @dataclass(frozen=True)
@@ -66,6 +66,12 @@ class StaticSpec:
     use_pallas: bool = False
     #: run the Pallas kernel in interpret mode (non-TPU backends/tests)
     pallas_interpret: bool = False
+    #: per-transition flag: the prior bound on the damping parameter
+    #: a = gamma/(4 pi dnu) is below ops.faddeeva.HARRIS_A_MAX, so the
+    #: 3-term Harris expansion (one exp + Dawson polynomial, ~1/6 the cost
+    #: of the 916 series) is accurate for every sample -- a TRACE-TIME
+    #: branch, decided from the static prior bounds, never at runtime.
+    harris: tuple = ()
 
 
 def static_spec(
@@ -75,10 +81,16 @@ def static_spec(
     use_pallas: bool = False,
     pallas_interpret: bool = False,
 ) -> StaticSpec:
+    tab = model.transition_table()
+    # Worst-case damping per transition over the prior: a is maximal at the
+    # LOWER b bound (a = gamma lambda0 / (4 pi b)).
+    b_lo_kms = model.bounds_lo[tab["pidx"] + 2]
+    dnu_min = b_lo_kms * 1e5 * (1e8 / tab["wrest"])
+    a_max = tab["gamma"] / (4.0 * np.pi * dnu_min)
     return StaticSpec(
         ndim=model.ndim,
         npix=model.npix,
-        ntrans=int(model.transition_table()["pidx"].size),
+        ntrans=int(tab["pidx"].size),
         startind=model.startind,
         freecont=model.freecont,
         freespecres=model.freespecres,
@@ -88,6 +100,7 @@ def static_spec(
         has_gpriors=bool(gpriors and model.gpriors is not None),
         use_pallas=bool(use_pallas),
         pallas_interpret=bool(pallas_interpret),
+        harris=tuple(bool(v) for v in (a_max < HARRIS_A_MAX)),
     )
 
 
@@ -115,6 +128,30 @@ def build_consts(
     c["inv_wrest_cm"] = (1e8 / tab["wrest"]).astype(np.float32)
     c["gamma"] = tab["gamma"].astype(np.float32)
     c["f"] = tab["f"].astype(np.float32)
+
+    # High-precision redshift handling: a redshift stored in f32 quantizes
+    # to ~2.4e-7 steps (~1e-5 posterior sigma_z / 40), turning the
+    # likelihood into a STEP function of z whose plateaus/ties measurably
+    # bias nested sampling (-1.65 +/- 0.10 nats on the 1-comp CIV fit vs a
+    # quadrature truth anchor).  Instead the u-argument is assembled as
+    #     u * dnu = D0 + dz * (c/lam),
+    # with D0 = (1 + zmid) c/lam - nu0 precomputed per (transition, pixel)
+    # in float64 on host (zmid = prior midpoint, static) and dz = z - zmid
+    # carried at f32 resolution of the PRIOR WIDTH (eps * 0.02 ~ 2.4e-9 in
+    # z) by deriving it directly from the unit cube (loglike_cube_core).
+    # Residual u error ~ 1e-5 Doppler widths vs ~ 2e-3 for naive f32 z.
+    wave_cm64 = np.asarray(model.obj_wl, np.float64) / 1e8
+    cw64 = CCGS / wave_cm64                                                 # (P,)
+    nu0 = CCGS / (np.asarray(tab["wrest"], np.float64) / 1e8)               # (T,)
+    z_lo = np.asarray(model.bounds_lo, np.float64)[tab["pidx"] + 1]
+    z_hi = np.asarray(model.bounds_hi, np.float64)[tab["pidx"] + 1]
+    zmid = 0.5 * (z_lo + z_hi)
+    c["d0"] = ((1.0 + zmid)[:, None] * cw64[None, :] - nu0[:, None]).astype(
+        np.float32
+    )                                                                       # (T, P)
+    c["zmid"] = zmid.astype(np.float32)                                     # (T,)
+    c["zspan"] = (z_hi - z_lo).astype(np.float32)                           # (T,)
+    c["u_zidx"] = (tab["pidx"] + 1).astype(np.int32)                        # (T,)
 
     c["contval"] = np.float32(model.contval[0])
     # Reference JAX path uses specres[0] when fixed (:572); the numpy path
@@ -145,18 +182,6 @@ def build_consts(
             np.sum(np.where(use, np.log(2.0 * np.pi * sig**2), 0.0))
         )
 
-    if use_pallas:
-        from mcalf_tpu.ops.voigt_pallas import precompute_dsplit
-
-        nujk64 = CCGS / (tab["wrest"] / 1e8)
-        cw64 = CCGS / (model.obj_wl / 1e8)
-        (
-            c["d_hi"],
-            c["d_lo"],
-            c["cw_hi"],
-            c["cw_lo"],
-            c["cw_res"],
-        ) = precompute_dsplit(nujk64, cw64)
     return c
 
 
@@ -173,8 +198,13 @@ def _head(p, c, s: StaticSpec):
     return specres, cont
 
 
-def reconstruct_core(p, c, s: StaticSpec):
+def reconstruct_core(p, c, s: StaticSpec, dz=None):
     """Model flux for physical parameters p of shape (..., ndim).
+
+    ``dz``: optional (..., T) high-precision redshift offsets z - zmid (see
+    build_consts); when None they are recovered from ``p`` in f32 (adequate
+    for plotting / chi2-at-medians; the sampler path supplies cube-derived
+    offsets through :func:`loglike_cube_core`).
 
     The tau synthesis accumulates over the transition table with a statically
     unrolled loop: each step is elementwise on a (..., P) block, keeping the
@@ -187,8 +217,9 @@ def reconstruct_core(p, c, s: StaticSpec):
 
     pidx = c["pidx"]
     N = p[..., pidx]                                       # (..., T)
-    z = p[..., pidx + 1]
     b = p[..., pidx + 2]
+    if dz is None:
+        dz = p[..., pidx + 1] - c["zmid"]                  # (..., T)
 
     dnu = b * 1e5 * c["inv_wrest_cm"]                      # (..., T)
     avoigt = c["gamma"] / (4.0 * jnp.pi * dnu)
@@ -202,22 +233,31 @@ def reconstruct_core(p, c, s: StaticSpec):
         batch_shape = p.shape[:-1]
         gain = (active * amp).reshape((-1, T))
         tau = voigt_tau_pallas(
-            z.reshape((-1, T)),
+            dz.reshape((-1, T)),
             gain,
             avoigt.reshape((-1, T)),
             dnu.reshape((-1, T)),
-            (c["d_hi"], c["d_lo"], c["cw_hi"], c["cw_lo"], c["cw_res"]),
+            c["d0"],
+            c["c_over_wave"],
             interpret=s.pallas_interpret,
+            harris=s.harris,
         ).reshape(batch_shape + (s.npix,))
     else:
         tau = jnp.zeros(p.shape[:-1] + (s.npix,), jnp.float32)
+        # Per-(sample, transition) scalars hoisted out of the pixel axis --
+        # in particular the reciprocal of dnu, so the per-pixel u costs one
+        # fma + one mul instead of a division.
+        idnu = 1.0 / dnu
         for t in range(T):
-            # u(wave) = ((1+z) c/wave - nu_jk)/dnu on a (..., P) block
+            # u(wave) = (D0 + dz c/wave) * (1/dnu) on a (..., P) block
             u = (
-                (1.0 + z[..., t : t + 1]) * c["c_over_wave"]
-                - c["nujk"][..., t, None]
-            ) / dnu[..., t : t + 1]
-            H = hjert(u, avoigt[..., t : t + 1])
+                c["d0"][t] + dz[..., t : t + 1] * c["c_over_wave"]
+            ) * idnu[..., t : t + 1]
+            # Trace-time choice per transition: Harris fast path when the
+            # prior bound guarantees small damping (s.harris), else the full
+            # 916/asymptotic evaluation.
+            hfun = hjert_harris if s.harris[t] else hjert
+            H = hfun(u, avoigt[..., t : t + 1])
             tau = tau + (active[..., t : t + 1] * amp[..., t : t + 1]) * H
 
     flux_model = jnp.exp(-tau)                             # (..., P)
@@ -235,9 +275,9 @@ def chi2_core(p, c, s: StaticSpec):
     return jnp.sum(c["ivar"] * r * r, axis=-1)
 
 
-def loglike_core(p, c, s: StaticSpec):
+def loglike_core(p, c, s: StaticSpec, dz=None):
     p = jnp.asarray(p, jnp.float32)
-    m = reconstruct_core(p, c, s)
+    m = reconstruct_core(p, c, s, dz=dz)
     r = c["data"] - m
     c2 = jnp.sum(c["ivar"] * r * r, axis=-1)
     ll = -0.5 * (c2 + c["const_term"])
@@ -259,7 +299,12 @@ def cube_to_params_core(u, c):
 
 
 def loglike_cube_core(u, c, s: StaticSpec):
-    return loglike_core(cube_to_params_core(u, c), c, s)
+    # dz derived straight from the unit cube: resolution eps * zspan
+    # (~2.4e-9 in z) instead of the f32 redshift's eps * (1+z) ~ 2.4e-7 --
+    # see the d0/zmid note in build_consts.
+    u = jnp.asarray(u, jnp.float32)
+    dz = (u[..., c["u_zidx"]] - 0.5) * c["zspan"]
+    return loglike_core(cube_to_params_core(u, c), c, s, dz=dz)
 
 
 # ---------------------------------------------------------------------------

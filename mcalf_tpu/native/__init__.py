@@ -9,6 +9,7 @@ just gets faster with it.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -19,9 +20,15 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "fastio.cpp")
 _LIB_PATH = os.path.join(_HERE, "_fastio.so")
+_HASH_PATH = _LIB_PATH + ".srchash"
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+
+
+def _src_hash() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
 
 
 def _build() -> bool:
@@ -31,8 +38,24 @@ def _build() -> bool:
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        with open(_HASH_PATH, "w") as f:
+            f.write(_src_hash())
         return True
     except Exception:
+        return False
+
+
+def _lib_current() -> bool:
+    """Is the built library present and built from the current source?
+    Compares a recorded source hash, not mtimes -- mtimes are arbitrary
+    after a fresh checkout, so a stale library could otherwise silently
+    shadow newer source."""
+    if not os.path.exists(_LIB_PATH):
+        return False
+    try:
+        with open(_HASH_PATH) as f:
+            return f.read().strip() == _src_hash()
+    except OSError:
         return False
 
 
@@ -42,9 +65,7 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH) or os.path.getmtime(
-            _LIB_PATH
-        ) < os.path.getmtime(_SRC):
+        if not _lib_current():
             if not _build():
                 return None
         try:

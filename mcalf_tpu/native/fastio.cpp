@@ -7,8 +7,11 @@
 // Exposed to Python through ctypes (mcalf_tpu/native/__init__.py) with a
 // pure-numpy fallback when the shared library cannot be built.
 //
-// Layout contract: '#'-prefixed lines are comments; every data row must
-// have the same number of columns; values are parsed with strtod.
+// Layout contract: '#'-prefixed lines are comments; non-numeric (header)
+// lines are tolerated only BEFORE the first data row -- a partially-numeric
+// row after data has started is a parse error (matching np.loadtxt, which
+// raises on corrupted values mid-file); every data row must have the same
+// number of columns; values are parsed with strtod.
 
 #include <cstdint>
 #include <cstdio>
@@ -21,7 +24,8 @@ extern "C" {
 // Parse the file at `path`.
 // On success returns a malloc'd row-major double buffer in *out
 // (caller frees via fastio_free), sets *nrows/*ncols, returns 0.
-// Error codes: 1 = cannot open, 2 = ragged rows, 3 = no data.
+// Error codes: 1 = cannot open, 2 = ragged rows, 3 = no data,
+// 4 = out of memory, 5 = malformed (partially numeric) data row.
 int fastio_read_table(const char* path, double** out, int64_t* nrows,
                       int64_t* ncols) {
   FILE* f = std::fopen(path, "rb");
@@ -39,6 +43,7 @@ int fastio_read_table(const char* path, double** out, int64_t* nrows,
   std::vector<double> data;
   data.reserve(1 << 16);
   int64_t cols = -1;
+  bool data_started = false;
 
   char* p = buf.data();
   char* end = buf.data() + got;
@@ -70,7 +75,10 @@ int fastio_read_table(const char* path, double** out, int64_t* nrows,
         cursor = next;
       }
       if (!numeric_row) {
-        // Drop anything parsed from a non-numeric (header) line.
+        // A non-numeric token mid-table means a corrupted data value:
+        // fail loudly (like np.loadtxt) rather than silently dropping the
+        // row.  Before the first data row it is a header line: drop it.
+        if (data_started) return 5;
         data.resize(data.size() - static_cast<size_t>(n_in_row));
       } else if (n_in_row > 0) {
         if (cols < 0) {
@@ -78,6 +86,7 @@ int fastio_read_table(const char* path, double** out, int64_t* nrows,
         } else if (cols != n_in_row) {
           return 2;
         }
+        data_started = true;
       }
     }
     if (!nl) break;

@@ -1,34 +1,30 @@
 """Pallas TPU kernel for fused multi-transition Voigt optical-depth synthesis.
 
 The hot loop of every fit is tau(B, P) = sum_t gain[b,t] * H(u[b,t,p],
-a[b,t]).  The pure-XLA path (models/jax_model.reconstruct_core) evaluates the
-Voigt-Hjerting function *branchlessly* on every pixel: the Algorithm-916
-series (the expensive branch) is computed even though ~90% of pixels sit in
-the far wings where the cheap asymptotic expansion is exact (|u| spans
-hundreds of Doppler widths across a spectrum; the series region |z| < ~10.5
-covers only the line cores).
+a[b,t]).  This kernel tiles (B, P), loops over transitions in VMEM, and for
+transitions whose prior-bounded damping is small (``harris`` flags, see
+StaticSpec.harris) evaluates the 3-term Harris expansion with no branch at
+all; otherwise it takes the Algorithm-916 series branch *per tile* only when
+some lane of the tile is inside the series region (``jax.lax.cond`` on a
+tile-level predicate).
 
-This kernel tiles (B, P), loops over transitions in VMEM, and takes the
-series branch *per tile* only when some lane of the tile is inside the
-series region (`jax.lax.cond` on a tile-level predicate).  Line cores touch
-a handful of pixel tiles per transition, so most (tile, transition) pairs run
-pure-asymptotic -- a large reduction in transcendental work on top of the
-recurrence-optimized series (ops/faddeeva.py).
+Precision: u = (D0 + dz * c/lam) / dnu with D0 = (1 + zmid) c/lam - nu_0
+precomputed in f64 on host (models/jax_model.build_consts) and dz = z - zmid
+the high-precision redshift offset; the f32 product dz * (c/lam) carries an
+absolute error of only eps * |dz| * 1.5e15 ~ 1e6 Hz => du ~ 1e-5, a few ULPs
+of the f64 value.  (This supersedes the earlier Dekker-split double-float
+scheme: anchoring at the static prior midpoint makes the residual small
+enough for plain f32.)
 
-Precision: u = ((1+z) c/lam - nu_0)/dnu subtracts ~1.5e15 Hz quantities to
-get a ~1e11 Hz result; a naive f32 product z*(c/lam) injects an absolute
-error of eps*1.5e15 ~ 9e7 Hz (=> du ~ 2e-3, 0.5% tau error at line cores).
-We therefore compute  u*dnu = D + z*(c/lam)  with
+Correctness contract: matches the XLA tau path (models/jax_model
+.reconstruct_core) to f32 roundoff; tests/test_voigt_pallas.py compares
+against an f64-u reference.
 
-* D = c/lam - nu_0 held as a static double-float (D_hi + D_lo, from f64);
-* z*(c/lam) as exact Dekker split products (z and c/lam each split into
-  12-bit halves; the hi*hi partial is exact in f32);
-
-which brings u to within a few ULPs of the f64 value (validated in
-tests/test_voigt_pallas.py against an f64 reference).
-
-Correctness contract: matches ops.faddeeva.hjert-based synthesis at f64-u
-fidelity; tests compare against an f64-u reference path.
+Benchmarked against the XLA path on a v5e (BENCH extra): roughly speed-tied
+at batch >= 200 and ~20% slower at the production deletion batch (B=50),
+because the series near-region spans 300-900 px of the 2000-px spectrum, so
+at (8, 512) tiles the skip predicate almost never fires.  The XLA path is
+therefore the default; this kernel stays opt-in (MCALF_TPU_PALLAS=1).
 """
 
 from __future__ import annotations
@@ -41,77 +37,51 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mcalf_tpu.ops.faddeeva import wofz_real_916, wofz_real_asym
+from mcalf_tpu.ops.faddeeva import hjert_harris, wofz_real_916, wofz_real_asym
 
-__all__ = ["voigt_tau_pallas", "precompute_dsplit", "pallas_supported"]
+__all__ = ["voigt_tau_pallas", "pallas_supported"]
 
 # Tile sizes: sublane x lane for f32.
 _TB = 8
 _TP = 512
-_SPLIT = 4097.0  # Dekker split constant for f32 (2^12 + 1)
 
 
-def precompute_dsplit(nujk_f64: np.ndarray, c_over_wave_f64: np.ndarray):
-    """Static double-float tables for the u computation.
+def _tau_kernel(dz_ref, gain_ref, av_ref, idnu_ref, d0_ref, cw_ref, tau_ref,
+                *, harris=()):
+    """One (TB, TP) output tile; loops transitions, branching per tile.
 
-    Returns (D_hi, D_lo, cw_hi, cw_lo, cw_res):
-    D = c/lam - nu_0 per (transition, pixel) as hi+lo f32 pair;
-    c/lam as exact 12-bit Dekker halves of its f32 rounding (cw_hi + cw_lo)
-    plus the f64 residual cw_res = cw - f32(cw) (without it, z * cw_res
-    ~ 5e7 Hz is lost and u degrades to ~5e-4 absolute).
-    All computed in float64 on host.
-    """
-    cw = np.asarray(c_over_wave_f64, np.float64)
-    nu = np.asarray(nujk_f64, np.float64)
-    D = cw[None, :] - nu[:, None]                     # (T, P) f64
-    D_hi = D.astype(np.float32)
-    D_lo = (D - D_hi.astype(np.float64)).astype(np.float32)
-    cw32 = cw.astype(np.float32)
-    c_big = cw32 * np.float32(_SPLIT)
-    cw_hi = (c_big - (c_big - cw32)).astype(np.float32)
-    cw_lo = (cw32 - cw_hi).astype(np.float32)
-    cw_res = (cw - cw32.astype(np.float64)).astype(np.float32)
-    return D_hi, D_lo, cw_hi, cw_lo, cw_res
-
-
-def _tau_kernel(z_ref, gain_ref, av_ref, idnu_ref, dhi_ref, dlo_ref,
-                cwhi_ref, cwlo_ref, cwres_ref, tau_ref):
-    """One (TB, TP) output tile; loops transitions, branching per tile."""
-    T = z_ref.shape[1]
-    cw_hi = cwhi_ref[0, :]  # (TP,)
-    cw_lo = cwlo_ref[0, :]
-    cw_res = cwres_ref[0, :]
+    ``harris``: per-transition static flags -- when set, the transition's
+    damping is bounded small by its prior and the 3-term Harris expansion
+    (ops.faddeeva.hjert_harris) replaces the 916/asymptotic pair with no
+    runtime branch at all."""
+    T = dz_ref.shape[1]
+    cw = cw_ref[0, :]                     # (TP,)
     acc = jnp.zeros((_TB, _TP), jnp.float32)
     for t in range(T):
-        z = z_ref[:, t][:, None]          # (TB, 1)
+        dz = dz_ref[:, t][:, None]        # (TB, 1)
         gain = gain_ref[:, t][:, None]
         a = av_ref[:, t][:, None]
         idnu = idnu_ref[:, t][:, None]
-        # Dekker split of z (per sample scalar column).
-        zc = z * _SPLIT
-        z_hi = zc - (zc - z)
-        z_lo = z - z_hi
-        # u*dnu = D + z*cw with exact partial products.
-        p1 = z_hi * cw_hi[None, :]                     # exact in f32
-        p2 = z_hi * cw_lo[None, :] + z_lo * cw_hi[None, :]
-        p3 = z_lo * cw_lo[None, :] + z * cw_res[None, :]
-        s = (dhi_ref[t, :][None, :] + p1) + (dlo_ref[t, :][None, :] + (p2 + p3))
-        u = s * idnu                                    # (TB, TP)
-        r2 = u * u + a * a
-        any_near = jnp.min(r2) < 111.0
+        u = (d0_ref[t, :][None, :] + dz * cw[None, :]) * idnu   # (TB, TP)
+        if harris and harris[t]:
+            H = hjert_harris(u, a)
+        else:
+            r2 = u * u + a * a
+            any_near = jnp.min(r2) < 111.0
 
-        def near_fn(u, a, r2):
-            xs = jnp.where(r2 < 111.0, u, 0.0)
-            ys = jnp.where(r2 < 111.0, a, 1.0)
-            return jnp.where(
-                r2 < 111.0, wofz_real_916(xs, ys), wofz_real_asym(u, a)
-            )
+            def near_fn(u, a, r2):
+                # Clamp x only; a stays a (TB, 1) scalar column so erfcx and
+                # the series denominators evaluate per sample, not per pixel
+                # (see ops.faddeeva.hjert).
+                xs = jnp.where(r2 < 111.0, u, 0.0)
+                return jnp.where(
+                    r2 < 111.0, wofz_real_916(xs, a), wofz_real_asym(u, a)
+                )
 
-        def far_fn(u, a, r2):
-            return wofz_real_asym(u, a)
+            def far_fn(u, a, r2):
+                return jnp.broadcast_to(wofz_real_asym(u, a), (_TB, _TP))
 
-        a_b = jnp.broadcast_to(a, (_TB, _TP))
-        H = jax.lax.cond(any_near, near_fn, far_fn, u, a_b, r2)
+            H = jax.lax.cond(any_near, near_fn, far_fn, u, a, r2)
         acc = acc + gain * H
     tau_ref[:, :] = acc
 
@@ -125,20 +95,27 @@ def pallas_supported() -> bool:
         return False
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def voigt_tau_pallas(z, gain, av, dnu, dsplit, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "harris"))
+def voigt_tau_pallas(
+    dz, gain, av, dnu, d0, c_over_wave, interpret: bool = False,
+    harris: tuple = (),
+):
     """tau(B, P) = sum_t gain[b,t] * H(u, a).
 
     Parameters (all float32):
-    z, gain, av, dnu : (B, T) per-sample per-transition scalars
-        (gain already includes the trans-dimensional activity mask and the
-        tau amplitude TAU_CONST * 10^N * f / dnu).
-    dsplit : output of :func:`precompute_dsplit` -- static (D_hi, D_lo)
-        (T, P) double-float tables and the (P,) split of c/lam.
+    dz, gain, av, dnu : (B, T) per-sample per-transition scalars
+        (``dz`` = z - zmid high-precision redshift offsets; ``gain``
+        already includes the trans-dimensional activity mask and the tau
+        amplitude TAU_CONST * 10^N * f / dnu).
+    d0 : (T, P) static table (1 + zmid) c/lam - nu_0 (f64-precomputed).
+    c_over_wave : (P,) static c/lam table.
+    harris : per-transition static flags selecting the small-damping Harris
+        fast path (see StaticSpec.harris).
     """
-    D_hi, D_lo, cw_hi, cw_lo, cw_res = (jnp.asarray(x) for x in dsplit)
-    B, T = z.shape
-    P = cw_hi.shape[0]
+    d0 = jnp.asarray(d0)
+    cw = jnp.asarray(c_over_wave)
+    B, T = dz.shape
+    P = cw.shape[0]
     Bp = -(-B // _TB) * _TB
     Pp = -(-P // _TP) * _TP
 
@@ -147,21 +124,18 @@ def voigt_tau_pallas(z, gain, av, dnu, dsplit, interpret: bool = False):
         w[axis] = (0, n - x.shape[axis])
         return jnp.pad(x, w, constant_values=value)
 
-    zp = pad(z, Bp)
+    dzp = pad(dz, Bp)
     gainp = pad(gain, Bp)
     # Padding rows: huge damping keeps fake lanes in the (cheap, finite)
     # asymptotic branch; gain=0 keeps them out of the output.
     avp = pad(av, Bp, value=1e6)
     idnup = pad(1.0 / dnu, Bp)
-    dhip = pad(D_hi, Pp, axis=1)
-    dlop = pad(D_lo, Pp, axis=1)
-    cwhip = pad(cw_hi[None, :], Pp, axis=1)
-    cwlop = pad(cw_lo[None, :], Pp, axis=1)
-    cwresp = pad(cw_res[None, :], Pp, axis=1)
+    d0p = pad(d0, Pp, axis=1)
+    cwp = pad(cw[None, :], Pp, axis=1)
 
     grid = (Bp // _TB, Pp // _TP)
     out = pl.pallas_call(
-        _tau_kernel,
+        functools.partial(_tau_kernel, harris=harris),
         out_shape=jax.ShapeDtypeStruct((Bp, Pp), jnp.float32),
         grid=grid,
         in_specs=[
@@ -170,14 +144,11 @@ def voigt_tau_pallas(z, gain, av, dnu, dsplit, interpret: bool = False):
             pl.BlockSpec((_TB, T), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_TB, T), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((T, _TP), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, _TP), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TP), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TP), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _TP), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (_TB, _TP), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(zp, gainp, avp, idnup, dhip, dlop, cwhip, cwlop, cwresp)
+    )(dzp, gainp, avp, idnup, d0p, cwp)
     return out[:B, :P]

@@ -41,7 +41,7 @@ from mcalf_tpu.sampler.nested import (
 
 __all__ = ["make_mesh", "fit_many", "fit_stacked"]
 
-_STATIC_KEYS = ("pidx", "comp_id", "is_fill")
+_STATIC_KEYS = ("pidx", "comp_id", "is_fill", "u_zidx")
 
 
 def make_mesh(devices=None, axis_name: str = "batch") -> Mesh:

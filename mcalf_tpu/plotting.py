@@ -19,7 +19,71 @@ from mcalf_tpu.analysis import analyze_chains, ncomp_occurrence
 from mcalf_tpu.models import AbsorptionModel
 from mcalf_tpu.runner import build_model, chain_basename
 
-__all__ = ["run_plot"]
+__all__ = ["run_plot", "plot_diagnostics"]
+
+
+def plot_diagnostics(results, ns_config, path: str) -> str:
+    """Write the sampler-diagnostics PNG (the reference's jaxns ``--debug``
+    writes an equivalent figure, cli.py:288-289): logL(logX) trajectory,
+    nlive(logL) from birth contours, and the insertion-rank histogram with
+    its KS p-values (mcalf_tpu.sampler.diagnostics).
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as pl
+
+    from mcalf_tpu.sampler import insertion_rank_test, merge_results
+
+    cfg = ns_config.resolved()
+    fig, axes = pl.subplots(1, 3, figsize=(16, 4.2))
+
+    logw = np.asarray(results.logw, np.float64)
+    logl = np.asarray(results.logl, np.float64)
+    valid = np.isfinite(logw)
+    logl_v = logl[valid]
+    order = np.argsort(logl_v)
+
+    # Panel 1: logL vs logX (cumulated prior volume in death order).
+    merged = merge_results([results])
+    logx = np.cumsum(-1.0 / merged.nlive_at_death)
+    axes[0].plot(logx, merged.logl, lw=0.8)
+    axes[0].set_xlabel(r"$\ln X$")
+    axes[0].set_ylabel(r"$\ln L$")
+    axes[0].set_title("likelihood vs prior volume")
+    axes[0].invert_xaxis()
+
+    # Panel 2: live-point count along the run (birth-contour bookkeeping).
+    axes[1].plot(merged.logl, merged.nlive_at_death, lw=0.8)
+    axes[1].set_xlabel(r"$\ln L$")
+    axes[1].set_ylabel("live points")
+    axes[1].set_title("nlive($\\ln L$)")
+
+    # Panel 3: insertion-rank uniformity (Fowlie et al. 2020).
+    diag = insertion_rank_test(results, cfg)
+    nbins = 20
+    axes[2].hist(
+        diag.ranks / max(diag.n_levels - 1, 1),
+        bins=nbins,
+        density=True,
+        alpha=0.75,
+    )
+    axes[2].axhline(1.0, color="k", ls="--", lw=0.8)
+    se = np.sqrt(nbins / max(diag.n, 1))
+    axes[2].axhspan(1 - 2 * se, 1 + 2 * se, color="k", alpha=0.1)
+    axes[2].set_xlabel("insertion rank (normalized)")
+    axes[2].set_ylabel("density")
+    axes[2].set_title(
+        f"rank uniformity: p={diag.p_value:.3f} "
+        f"(blocks {diag.p_value_blocks:.3f})"
+    )
+
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    fig.savefig(path, dpi=110)
+    pl.close(fig)
+    print(f"Diagnostics written at: {path}")
+    return path
 
 
 def run_plot(

@@ -27,7 +27,13 @@ from mcalf_tpu.sampler import (
     nested_sample,
     resample_equal,
 )
-from mcalf_tpu.utils.checkpoint import latest_checkpoint, load_state, save_state
+from mcalf_tpu.utils.checkpoint import (
+    latest_checkpoint,
+    load_state,
+    problem_fingerprint,
+    prune_checkpoints,
+    save_state,
+)
 from mcalf_tpu.utils.profiling import phase_timer
 
 KNOWN_SOLVERS = (
@@ -146,6 +152,17 @@ def run_fit(
     Returns (NSResults, chain basename)."""
     import jax
 
+    device = str(configpars.get("device", "default")).lower()
+    if device == "cpu":
+        # Force the fit onto CPU in-process (reference cli.py:215-216).  Must
+        # run before the first backend touch; if a backend is already live
+        # (e.g. an earlier fit in this process) the platform cannot change.
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            print("WARNING: device=cpu requested but a JAX backend is already "
+                  "initialized; continuing on the existing platform.")
+
     if model is None:
         model = build_model(configpars, debug=debug)
     fwd = make_jax_forward(model, gpriors=model.gpriors is not None)
@@ -170,11 +187,15 @@ def run_fit(
         # size and is bit-identical to an uninterrupted run); checkpoints and
         # progress hang off the per-chunk callback.
         state = None
+        fp = problem_fingerprint(model, cfg, seed) if ckpt_dir else None
         if ckpt_dir:
             prev = latest_checkpoint(ckpt_dir)
             if prev is not None:
+                # The fingerprint check refuses checkpoints from a different
+                # problem / sampler config / seed (same-shape states would
+                # otherwise resume silently into a wrong run).
                 print(f"Resuming from checkpoint {prev}")
-                state = load_state(prev)
+                state = load_state(prev, fingerprint=fp)
 
         def on_chunk(s):
             if showprogress:
@@ -184,8 +205,11 @@ def run_fit(
                 )
             if ckpt_dir:
                 save_state(
-                    os.path.join(ckpt_dir, f"ns_state_{int(s.step):06d}.npz"), s
+                    os.path.join(ckpt_dir, f"ns_state_{int(s.step):06d}.npz"),
+                    s,
+                    fingerprint=fp,
                 )
+                prune_checkpoints(ckpt_dir, keep=3)
 
         res = nested_sample(
             fwd.loglike_cube,
@@ -207,6 +231,24 @@ def run_fit(
     os.makedirs(configpars["chaindir"], exist_ok=True)
     base = chain_basename(configpars)
     write_stats(base + ".stats", float(res.logz), float(res.logzerr))
+
+    if debug:
+        # Sampler-diagnostics figure, the reference's jaxns --debug analogue
+        # (cli.py:288-289) -- plus the quantitative rank test on stdout.
+        from mcalf_tpu.plotting import plot_diagnostics
+        from mcalf_tpu.sampler import insertion_rank_test
+
+        diag = insertion_rank_test(res, cfg)
+        print(
+            f"[DEBUG]: insertion-rank KS p = {diag.p_value:.4f} "
+            f"(blocks {diag.p_value_blocks:.4f}, n={diag.n})"
+        )
+        png = os.path.join(
+            configpars.get("plotdir", configpars["chaindir"]),
+            configpars["chainfmt"].format(configpars["nfill"])
+            + "_diagnostics.png",
+        )
+        plot_diagnostics(res, cfg, png)
 
     S = resample_S if resample_S > 0 else int(res.n_dead)
     su, logl = resample_equal(jax.random.PRNGKey(42), res, S)

@@ -10,6 +10,7 @@ from mcalf_tpu.sampler.nested import (
     nested_sample,
     run_steps,
 )
+from mcalf_tpu.sampler.diagnostics import RankDiagnostic, insertion_rank_test
 from mcalf_tpu.sampler.merge import MergedRun, merge_results, nlive_of_logl
 from mcalf_tpu.sampler.results import (
     equal_weights_matrix,
@@ -34,4 +35,6 @@ __all__ = [
     "MergedRun",
     "merge_results",
     "nlive_of_logl",
+    "RankDiagnostic",
+    "insertion_rank_test",
 ]

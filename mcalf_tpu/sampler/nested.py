@@ -19,13 +19,18 @@ Algorithm: vectorized nested sampling with batch deletion.
   batch deletion is statistically identical to ``num_delete`` classic steps
   (parallel NS a la PolyChord's MPI ranks).
 * Replacements are drawn by ``num_repeats`` passes of Neal (2003)
-  slice sampling with shrinkage, vmapped over all deleted slots at once:
-  random directions scaled by the per-dimension standard deviation of the
-  survivor set (diagonal whitening), hard likelihood constraint
-  L > L*_{(num_delete)}.  Chain starts are random survivors -- already
-  distributed per the constrained prior, so every pass preserves the
-  invariant distribution and ``num_repeats`` only controls decorrelation
-  (same role as PolyChord's ``num_repeats``, cli.py:92).
+  shrinkage slice sampling, vmapped over all deleted slots at once: random
+  directions mapped through the Cholesky factor of the survivor covariance
+  (affine whitening); the initial bracket is the exact cube chord along the
+  direction (provably a superset of the slice, so no step-out calls are
+  needed); hard likelihood constraint L > L*_{(num_delete)} (the highest
+  DELETED likelihood).  Chain starts are
+  distinct random survivors -- already distributed per the constrained
+  prior, so every pass preserves the invariant distribution and
+  ``num_repeats`` only controls decorrelation (same role as PolyChord's
+  ``num_repeats``, cli.py:92).  Each replacement's insertion rank among the
+  survivors is recorded for the Fowlie et al. (2020) uniformity diagnostic
+  (:mod:`mcalf_tpu.sampler.diagnostics`).
 * Termination on remaining-evidence: mean live likelihood times remaining
   volume < ``precision_criterion`` x accumulated evidence (PolyChord's
   ``precision_criterion``, cli.py:93), or the ``max_samples`` cap (jaxns
@@ -65,13 +70,16 @@ class NSConfig:
     #: cap on collected dead points (static buffer size)
     max_samples: int = 20000
     #: max shrink iterations per slice pass (chains that don't accept within
-    #: the cap keep their point for that pass -- valid but lazier; capping
-    #: below ~20 measurably hurts mixing on multimodal problems)
-    max_shrink: int = 20
-    #: initial slice bracket half-width in whitened units
-    bracket_width: float = 2.0
+    #: the cap keep their point for that pass -- valid but lazier; the
+    #: cube-chord bracket needs ~log2(chord/slice)+2 iterations, typically
+    #: 5-8, worst case ~20 under deep contraction along collapsed dims)
+    max_shrink: int = 30
     #: doubles num_repeats (jaxns 'difficult_model', cli.py:266-267)
     difficult_model: bool = False
+    #: slice-direction mixture weights (whitened-Gaussian, global
+    #: differential-evolution, coordinate-axis); see the direction-mixture
+    #: note in run_steps
+    move_mix: tuple = (1.0, 1.0, 1.0)
 
     def resolved(self) -> "NSConfig":
         """Fill defaulted fields.  Idempotent: an explicit ``num_repeats`` is
@@ -82,10 +90,19 @@ class NSConfig:
         if self.num_repeats > 0:
             nr = self.num_repeats
         else:
-            # 8*ndim for difficult models: validated on the flagship
-            # trans-dimensional fit, where 4*ndim repeats bias logZ ~12 nats
-            # low while 8*ndim runs cluster within systematic scatter.
-            nr = 2 * self.ndim * (4 if self.difficult_model else 1)
+            # Calibrated against ground truth: analytic Gaussians are
+            # unbiased from 2-3*ndim, but the REAL 1-comp CIV fit -- checked
+            # against a brute-force quadrature evidence
+            # (tools/truth_anchor.py, tests/test_truth_anchor.py) -- needs
+            # 8-12*ndim with the 3-way direction mixture before the
+            # seed-ensemble bias drops below the quoted logzerr
+            # (whitened-only directions need ~32*ndim; see the
+            # direction-mixture note in run_steps).  12*ndim is clean on
+            # both CPU and TPU; doubled for difficult (multimodal /
+            # trans-dimensional) models -- same role as PolyChord's
+            # num_repeats (cli.py:92) and jaxns' difficult_model
+            # (cli.py:266-267).
+            nr = 12 * self.ndim * (2 if self.difficult_model else 1)
         import dataclasses
 
         return dataclasses.replace(self, num_delete=nd, num_repeats=nr)
@@ -107,6 +124,11 @@ class NSState(NamedTuple):
     logz: jax.Array            # accumulated log evidence
     n_like: jax.Array          # int32 likelihood evaluations
     step: jax.Array            # outer step counter
+    #: (cap,) int32 insertion ranks of each replacement among the survivor
+    #: set at its creation step (Fowlie, Handley & Su 2020 diagnostic).
+    #: Aligned with the dead buffer by COUNT (B ranks recorded per step),
+    #: not by identity; -1 marks unfilled slots.
+    dead_rank: jax.Array
 
 
 class NSResults(NamedTuple):
@@ -123,6 +145,9 @@ class NSResults(NamedTuple):
     n_like: jax.Array
     n_iter: jax.Array
     termination_reason: jax.Array   # 0 = converged, 1 = max_samples
+    insertion_rank: jax.Array       # (cap + nlive,) int32 insertion ranks
+                                    # (uniform on {0..nlive-num_delete} under
+                                    # correct sampling; -1 = unfilled/live)
 
 
 def _uniform_logw(state: NSState, nlive: int):
@@ -245,6 +270,7 @@ def init_state(loglike_batch, key, config: NSConfig) -> NSState:
         logz=f32(-jnp.inf),
         n_like=jnp.int32(nlive),
         step=jnp.int32(0),
+        dead_rank=jnp.full((cap,), -1, jnp.int32),
     )
 
 
@@ -301,7 +327,17 @@ def run_steps(loglike_batch, state: NSState, config: NSConfig, num_steps: int) -
         surv = order[B:]
         dead_logl_new = s.live_logl[worst]                # ascending in L
         dead_u_new = s.live_u[worst]
-        lstar = s.live_logl[surv[0]]                      # = B-th smallest
+        # Constraint for the replacements: strictly above the HIGHEST deleted
+        # point (the B-th smallest), i.e. L > L*_{(num_delete)}.  Using the
+        # minimum *survivor* here instead is off by one and biases logZ high
+        # (the shrinkage bookkeeping assumes replacements are drawn from the
+        # prior truncated at the last deleted contour); measured on a 64-seed
+        # Gaussian analytic problem: +0.122±0.038 nats with the survivor
+        # threshold vs +0.011±0.040 with this one.  This also guarantees every
+        # survivor start point strictly satisfies the constraint, so a chain
+        # that exhausts max_shrink keeps a valid interior point rather than a
+        # boundary point with L == lstar.
+        lstar = dead_logl_new[-1]                         # = B-th smallest
 
         # volumes: j-th deleted dies at logx + cum_dlogx[j]
         logx_seq = s.logx + cum_dlogx                     # (B,)
@@ -334,26 +370,72 @@ def run_steps(loglike_batch, state: NSState, config: NSConfig, num_steps: int) -
         chol = jnp.linalg.cholesky(cov)                   # (ndim, ndim)
 
         key, kstart = jax.random.split(key)
-        start_idx = jax.random.randint(kstart, (B,), 0, nlive - B)
+        # Starts drawn WITHOUT replacement: duplicate start points correlate
+        # the B replacements, which violates the iid assumption behind the
+        # sequential batch-shrinkage bookkeeping and biases logZ upward at
+        # small num_repeats (measured ~ +0.1 nat at nlive=100, B=25, 8
+        # repeats on an analytic Gaussian).  Spread as evenly as possible
+        # when B > nsurv.
+        start_idx = jax.random.permutation(
+            kstart, jnp.arange(B, dtype=jnp.int32) % (nlive - B)
+        )
         u_cur = surv_u[start_idx]                         # (B, ndim)
         logl_cur = surv_logl[start_idx]
 
         def slice_pass(carry, _):
             u_cur, logl_cur, key, n_like = carry
-            key, kd, kr = jax.random.split(key, 3)
+            key, kd, kj, km = jax.random.split(key, 4)
             # Unit direction in the whitened frame, mapped through L: |d| is
             # then ~ the live-point spread along that direction, so the
-            # fixed-width bracket below is in local-posterior units and the
             # shrink loop converges in O(1) iterations.
             n = jax.random.normal(kd, (B, ndim), f32)
             n = n / (jnp.linalg.norm(n, axis=1, keepdims=True) + 1e-12)
-            d = n @ chol.T
-            # Random placement of a fixed-width bracket around the current
-            # point (Neal 2003): valid shrinkage-only slice kernel.
-            r = jax.random.uniform(kr, (B,), f32)
-            W = f32(cfg.bracket_width)
-            lo = -W * r
-            hi = W * (1.0 - r)
+            d_white = n @ chol.T
+            # Direction mixture.  With the cube-chord bracket only the
+            # ANGULAR distribution matters (the bracket ignores |d|), and no
+            # single family mixes every phase of a real absorption fit:
+            # * whitened Gaussian -- right for the unimodal late phase;
+            # * global differential evolution (difference of two random
+            #   survivors) -- carries mode-to-mode vectors when the region
+            #   fragments (noise-induced secondary redshift channels);
+            # * coordinate axes -- the slab+tunnel mid-phase of absorption
+            #   fits is axis-aligned in the collapsed (redshift) dims, which
+            #   generic directions cross at unproductive angles.
+            # (A "local DE" variant -- nearest-neighbor pairs -- was tried
+            # and makes things WORSE: small steps under-explore; measured
+            # -4.3 nats on the 1-comp CIV anchor.)  Direction choice is
+            # independent of the current point within a pass, so the
+            # mixture is a valid slice kernel.
+            w_white, w_de, w_axis = cfg.move_mix
+            tot = w_white + w_de + w_axis
+            r_mv = jax.random.uniform(km, (B, 1), f32) * tot
+            jidx = jax.random.randint(kj, (2, B), 0, nlive - B)
+            d_diff = surv_u[jidx[0]] - surv_u[jidx[1]]
+            de_ok = jnp.linalg.norm(d_diff, axis=1, keepdims=True) > 1e-7
+            key, ka = jax.random.split(key)
+            axis_idx = jax.random.randint(ka, (B,), 0, ndim)
+            d_axis = jax.nn.one_hot(axis_idx, ndim, dtype=f32)
+            d = jnp.where(
+                (r_mv < w_de) & de_ok,
+                d_diff,
+                jnp.where(r_mv < w_de + w_axis, d_axis, d_white),
+            )
+            # Exact cube-chord bracket: the full extent of the line
+            # u_cur + t d inside the unit cube.  This PROVABLY contains the
+            # entire slice (slice subset of prior support), so shrinkage-only
+            # is an unconditionally valid slice kernel (Neal 2003) with ZERO
+            # bracket-expansion likelihood calls -- unlike a fixed-width
+            # bracket (which truncates wide slices and biases logZ, measured
+            # +0.15..+0.34 nats at ndim=8) or step-out (correct but ~2.5x
+            # the evals per pass on multimodal trans-dimensional fits, where
+            # expansions chase distant modes).  Whitening keeps the expected
+            # chord/slice ratio O(10), so shrinkage converges in
+            # ~log2(chord/slice)+2 ~ 5-8 iterations.
+            safe_d = jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+            c1 = (0.0 - u_cur) / safe_d                   # (B, ndim)
+            c2 = (1.0 - u_cur) / safe_d
+            lo = jnp.max(jnp.minimum(c1, c2), axis=1)     # (B,)
+            hi = jnp.min(jnp.maximum(c1, c2), axis=1)
 
             def shrink_cond(c):
                 _, _, _, _, done, _, it, _ = c
@@ -400,6 +482,17 @@ def run_steps(loglike_batch, state: NSState, config: NSConfig, num_steps: int) -
             length=cfg.num_repeats,
         )
 
+        # ---- insertion-rank diagnostic ---------------------------------
+        # Each replacement is (under correct constrained sampling) an iid
+        # draw from the prior truncated at lstar, as are the nlive-B
+        # survivors, so its rank among the survivors is uniform on
+        # {0, ..., nlive-B}.  Non-uniformity flags under-decorrelated chains
+        # (Fowlie, Handley & Su 2020, MNRAS 497:5256).
+        ranks = jnp.sum(
+            surv_logl[None, :] < logl_new[:, None], axis=1
+        ).astype(jnp.int32)
+        dead_rank = jax.lax.dynamic_update_slice(s.dead_rank, ranks, (s.n_dead,))
+
         # ---- rebuild live set ------------------------------------------
         live_u = s.live_u.at[worst].set(u_new)
         live_logl = s.live_logl.at[worst].set(logl_new)
@@ -419,6 +512,7 @@ def run_steps(loglike_batch, state: NSState, config: NSConfig, num_steps: int) -
             logz=logz,
             n_like=n_like,
             step=s.step + 1,
+            dead_rank=dead_rank,
         )
 
     def body_wrap(carry):
@@ -477,6 +571,9 @@ def finalize(loglike_batch, final: NSState, config: NSConfig) -> NSResults:
         n_like=final.n_like,
         n_iter=final.step,
         termination_reason=jnp.where(converged, jnp.int32(0), jnp.int32(1)),
+        insertion_rank=jnp.concatenate(
+            [final.dead_rank, jnp.full((nlive,), -1, jnp.int32)]
+        ),
     )
 
 

@@ -13,7 +13,14 @@ from mcalf_tpu.sampler import (
     nested_sample,
     run_steps,
 )
-from mcalf_tpu.utils.checkpoint import latest_checkpoint, load_state, save_state
+import pytest
+
+from mcalf_tpu.utils.checkpoint import (
+    latest_checkpoint,
+    load_state,
+    prune_checkpoints,
+    save_state,
+)
 
 
 def _loglike(sigma=0.05, ndim=2):
@@ -59,3 +66,44 @@ def test_checkpoint_roundtrip_and_resume(tmp_path):
     res_resumed = nested_sample(ll, jax.random.PRNGKey(99), cfg, state=loaded)
     res_straight = nested_sample(ll, jax.random.PRNGKey(0), cfg)
     assert float(res_resumed.logz) == float(res_straight.logz)
+
+
+def test_fingerprint_mismatch_rejected(tmp_path):
+    # Resuming a checkpoint from a different problem/config/seed must raise,
+    # not silently continue the wrong run.
+    ll = _loglike()
+    cfg = NSConfig(ndim=2, nlive=100, max_samples=8000).resolved()
+    state = init_state(ll, jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "ns_state_0000.npz")
+    fp = {"ndim": 2, "nlive": 100, "seed": 0, "data_hash": "abc"}
+    save_state(path, state, fingerprint=fp)
+
+    # matching fingerprint loads fine
+    load_state(path, fingerprint=fp)
+    # any field differing is rejected
+    with pytest.raises(ValueError, match="fingerprint mismatch"):
+        load_state(path, fingerprint=dict(fp, seed=1))
+    with pytest.raises(ValueError, match="fingerprint mismatch"):
+        load_state(path, fingerprint=dict(fp, data_hash="def"))
+    # a legacy checkpoint without fingerprints is rejected when one is required
+    save_state(path, state)
+    with pytest.raises(ValueError, match="no fingerprint"):
+        load_state(path, fingerprint=fp)
+    # ...but loads when no check is requested
+    load_state(path)
+
+
+def test_prune_checkpoints(tmp_path):
+    ll = _loglike()
+    cfg = NSConfig(ndim=2, nlive=100, max_samples=8000).resolved()
+    state = init_state(ll, jax.random.PRNGKey(0), cfg)
+    import os
+    import time
+
+    for i in range(6):
+        p = str(tmp_path / f"ns_state_{i:04d}.npz")
+        save_state(p, state)
+        os.utime(p, (time.time() + i, time.time() + i))
+    prune_checkpoints(str(tmp_path), keep=2)
+    left = sorted(f for f in os.listdir(tmp_path) if f.endswith(".npz"))
+    assert left == ["ns_state_0004.npz", "ns_state_0005.npz"]

@@ -77,6 +77,49 @@ def test_stats_format(e2e_outputs):
     assert 0 < err < 1.0
 
 
+def test_device_cpu_and_debug_diagnostics(tmp_path, testdata_dir):
+    # `device = cpu` must be honored (reference cli.py:215-216) and --debug
+    # must write the sampler-diagnostics PNG (reference cli.py:288-289).
+    # The test platform is already CPU (conftest), so this exercises the
+    # config path end-to-end without a platform flip.
+    cfg = tmp_path / "fit.cfg"
+    cfg.write_text(
+        f"""
+[input]
+specfile = civ_mock_spec.txt
+wavefit = 6180,6220
+linelist = CIV 1548, CIV 1550
+coldef = Wave, Flux, Err
+solver = jaxns
+specres = 8.0
+
+[pathing]
+datadir = {testdata_dir}/
+outdir = {tmp_path}/
+chainfmt = dbg_{{0}}
+
+[components]
+ncomp = 1,1
+contval  = 1
+Nrange = 12.0,14.5
+brange = 10.0, 40.0
+zrange = 2.99, 3.01
+
+[run]
+dofit = True
+doplot = False
+device = cpu
+
+[jaxns_settings]
+max_samples = 2000
+num_live_points = 60
+"""
+    )
+    rc = main([str(cfg), "--debug"])
+    assert rc == 0
+    assert os.path.exists(tmp_path / "plots" / "dbg_0_diagnostics.png")
+
+
 def test_refit_with_dofit_false_reuses_chains(e2e_outputs, testdata_dir, capsys):
     # doplot-only invocation must work from the chain files alone
     # (fit and analysis communicate only via disk, SURVEY.md 5.4).

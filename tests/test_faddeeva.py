@@ -12,6 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from mcalf_tpu.ops import erfcx, hjert
+from mcalf_tpu.ops.faddeeva import HARRIS_A_MAX, dawsn, hjert_harris
 
 
 def test_erfcx_accuracy():
@@ -86,3 +87,47 @@ def test_hjert_no_nans_near_region_switch():
         rel = np.abs(got - want) / np.abs(want)
         assert np.isfinite(got).all()
         assert np.max(rel) < 1e-4, (eps, np.max(rel))
+
+
+def test_dawsn_vs_scipy():
+    # Piecewise-polynomial f32 Dawson integral: <= ~6e-7 relative everywhere,
+    # including across the region boundaries (u = 1.5, 2.5, 4).
+    u = np.concatenate(
+        [np.linspace(-10, 10, 40001), np.linspace(10, 500, 5001)]
+    ).astype(np.float32)
+    got = np.asarray(dawsn(jnp.asarray(u)))
+    want = sps.dawsn(u.astype(np.float64))
+    rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-30)
+    rel[np.abs(u) < 1e-6] = 0.0
+    assert np.max(rel) < 1e-6, np.max(rel)
+    # odd
+    assert np.array_equal(
+        np.asarray(dawsn(jnp.asarray(u))), -np.asarray(dawsn(jnp.asarray(-u)))
+    )
+
+
+def test_hjert_harris_vs_scipy():
+    # The small-damping fast path must meet the reference accuracy bar
+    # (<= 2.4e-6 rel, SURVEY.md 6.2) for every a below HARRIS_A_MAX,
+    # including the deep far wings where H ~ a/(sqrt(pi) u^2) ~ 1e-9.
+    u = np.concatenate(
+        [np.linspace(0, 30, 30001), np.linspace(30, 500, 5001)]
+    ).astype(np.float32)
+    for a in (1e-7, 1e-5, 1e-4, 3e-4, HARRIS_A_MAX):
+        got = np.asarray(hjert_harris(jnp.asarray(u), jnp.float32(a)))
+        want = sps.wofz(u.astype(np.float64) + 1j * a).real
+        rel = np.abs(got - want) / np.abs(want)
+        assert np.max(rel) < 2.4e-6, (a, np.max(rel))
+
+
+def test_hjert_harris_broadcast_column():
+    # a as a per-sample scalar column against a pixel axis (the fused-tau
+    # layout).
+    u = np.linspace(0, 20, 2048, dtype=np.float32)[None, :].repeat(4, axis=0)
+    a = np.array([[1e-4], [2e-4], [5e-4], [1e-3]], np.float32)
+    got = np.asarray(hjert_harris(jnp.asarray(u), jnp.asarray(a)))
+    assert got.shape == (4, 2048)
+    for i in range(4):
+        want = sps.wofz(u[i].astype(np.float64) + 1j * float(a[i, 0])).real
+        rel = np.abs(got[i] - want) / np.abs(want)
+        assert np.max(rel) < 2.4e-6

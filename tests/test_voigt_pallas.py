@@ -8,7 +8,7 @@ from mcalf_tpu.models import AbsorptionModel
 from mcalf_tpu.models.forward import CCGS, TAU_CONST
 from mcalf_tpu.models.jax_model import build_consts
 from mcalf_tpu.ops.faddeeva import hjert
-from mcalf_tpu.ops.voigt_pallas import precompute_dsplit, voigt_tau_pallas
+from mcalf_tpu.ops.voigt_pallas import voigt_tau_pallas
 
 
 @pytest.fixture(scope="module")
@@ -26,7 +26,6 @@ def problem(testdata_dir):
     tab = m.transition_table()
     nujk64 = CCGS / (tab["wrest"] / 1e8)
     cw64 = CCGS / (m.obj_wl / 1e8)
-    dsplit = precompute_dsplit(nujk64, cw64)
 
     rng = np.random.default_rng(0)
     B = 13  # deliberately not a multiple of the 8-row tile
@@ -35,16 +34,27 @@ def problem(testdata_dir):
     N = p[:, c["pidx"]]
     z = p[:, c["pidx"] + 1]
     b = p[:, c["pidx"] + 2]
+    # dz must be formed against the f64 zmid the d0 table was built with
+    # (the production cube path does this implicitly: u=0.5 IS the f64
+    # midpoint); differencing against the f32-rounded zmid shifts filler u
+    # by ~8e-4.
+    zmid64 = 0.5 * (
+        np.asarray(m.bounds_lo, np.float64)[tab["pidx"] + 1]
+        + np.asarray(m.bounds_hi, np.float64)[tab["pidx"] + 1]
+    )
+    dz = (z.astype(np.float64) - zmid64).astype(np.float32)
     dnu = (b * 1e5 * c["inv_wrest_cm"]).astype(np.float32)
     av = (c["gamma"] / (4 * np.pi * dnu)).astype(np.float32)
     nact = np.floor(p[:, m.startind])
     active = (c["comp_id"][None, :] < nact[:, None]) | c["is_fill"][None, :]
     gain = (TAU_CONST * 10.0**N * c["f"] / dnu * active).astype(np.float32)
-    return z, gain, av, dnu, dsplit, nujk64, cw64
+    d0 = np.asarray(c["d0"])
+    cw32 = np.asarray(c["c_over_wave"])
+    return z, dz, gain, av, dnu, d0, cw32, nujk64, cw64
 
 
 def _tau_f64_u(z, gain, av, dnu, nujk64, cw64):
-    """Reference: u in float64 (the quantity the double-float kernel path
+    """Reference: u in float64 (the quantity the d0 + dz*cw path
     reconstructs), H and the sum in float32."""
     u64 = (
         (1.0 + z.astype(np.float64))[:, :, None] * cw64[None, None, :]
@@ -55,41 +65,57 @@ def _tau_f64_u(z, gain, av, dnu, nujk64, cw64):
 
 
 def test_pallas_matches_f64_u_reference(problem):
-    z, gain, av, dnu, dsplit, nujk64, cw64 = problem
-    got = np.asarray(voigt_tau_pallas(z, gain, av, dnu, dsplit, interpret=True))
+    z, dz, gain, av, dnu, d0, cw32, nujk64, cw64 = problem
+    got = np.asarray(
+        voigt_tau_pallas(dz, gain, av, dnu, d0, cw32, interpret=True)
+    )
     want = np.asarray(_tau_f64_u(z, gain, av, dnu, nujk64, cw64))
     assert got.shape == want.shape
-    # Double-float u reconstruction: agreement at f32 roundoff relative to
+    # d0 + dz*cw u reconstruction: agreement at f32 roundoff relative to
     # the local tau scale.
     err = np.abs(got - want) / (np.abs(want) + 1e-3)
     assert np.max(err) < 3e-5, np.max(err)
 
 
 def test_pallas_padding_rows_do_not_leak(problem):
-    z, gain, av, dnu, dsplit, *_ = problem
+    _, dz, gain, av, dnu, d0, cw32, *_ = problem
 
-    full = np.asarray(voigt_tau_pallas(z, gain, av, dnu, dsplit, interpret=True))
+    full = np.asarray(
+        voigt_tau_pallas(dz, gain, av, dnu, d0, cw32, interpret=True)
+    )
 
     def grow(x):
         return np.concatenate([x, x[-1:]], axis=0)
 
     grown = np.asarray(
-        voigt_tau_pallas(grow(z), grow(gain), grow(av), grow(dnu), dsplit,
-                         interpret=True)
+        voigt_tau_pallas(
+            grow(dz), grow(gain), grow(av), grow(dnu), d0, cw32, interpret=True
+        )
     )
     assert np.array_equal(grown[:-1], full)
 
 
-def test_dsplit_reconstructs_f64(problem):
-    *_, dsplit, nujk64, cw64 = (None, None, None, None) + problem[4:]
-    D_hi, D_lo, cw_hi, cw_lo, cw_res = dsplit
-    D = cw64[None, :] - nujk64[:, None]
-    recon = D_hi.astype(np.float64) + D_lo.astype(np.float64)
-    assert np.max(np.abs(recon - D) / np.abs(D)) < 2e-14
-    assert np.array_equal(cw_hi + cw_lo, cw64.astype(np.float32))
-    full = (cw_hi.astype(np.float64) + cw_lo.astype(np.float64)
-            + cw_res.astype(np.float64))
-    assert np.max(np.abs(full - cw64) / cw64) < 2e-14
+def test_d0_table_reconstructs_f64_u(problem):
+    """The static D0 table plus the f32 dz*cw product reproduce the f64 u to
+    ~1e-4 absolute (vs ~2e-3 for a naive f32 (1+z)*cw - nu0)."""
+    z, dz, gain, av, dnu, d0, cw32, nujk64, cw64 = problem
+    u64 = (
+        (1.0 + z.astype(np.float64))[:, :, None] * cw64[None, None, :]
+        - nujk64[None, :, None]
+    ) / dnu.astype(np.float64)[:, :, None]
+    u32 = (
+        d0[None, :, :].astype(np.float64)
+        + (dz.astype(np.float64)[:, :, None] * cw32.astype(np.float64))
+    ) / dnu.astype(np.float64)[:, :, None]
+    assert np.max(np.abs(u32 - u64)) < 1e-3
+    # and it is much better than the naive f32 assembly
+    u_naive = (
+        ((1.0 + z)[:, :, None] * cw32[None, None, :]).astype(np.float32)
+        - (nujk64.astype(np.float32))[None, :, None]
+    ) / dnu[:, :, None]
+    assert np.max(np.abs(u32 - u64)) < 0.1 * max(
+        np.max(np.abs(u_naive - u64)), 1e-3
+    )
 
 
 def test_make_jax_forward_pallas_integration(testdata_dir):
@@ -112,14 +138,9 @@ def test_make_jax_forward_pallas_integration(testdata_dir):
     p = np.asarray(f_ref.cube_to_params(u))
     a = np.asarray(f_ref.reconstruct(p))
     b = np.asarray(f_pal.reconstruct(p))
-    # The two paths differ only through u-precision at line cores: the
-    # Pallas path reconstructs u at ~f64 fidelity while the jnp path carries
-    # the f32 product rounding (~2e-3 in u -> ~1e-3 in core flux).
-    assert np.max(np.abs(a - b)) < 2e-3
-    # At arbitrary (bad-fit) points chi2 is huge and a 1e-3 model difference
-    # moves ll by ~1e-4 of its magnitude; at the truth the agreement is tight.
-    la = np.asarray(f_ref.loglike(p))
-    lb = np.asarray(f_pal.loglike(p))
-    assert np.max(np.abs(la - lb) / (np.abs(la) * 1e-3 + 1.0)) < 1.0
-    truth = np.array([1.0, 13.8, 3.0, 15.0, 12.0, 3.001, 15.0], np.float32)
-    assert abs(float(f_ref.loglike(truth)) - float(f_pal.loglike(truth))) < 2.0
+    # Both paths now assemble u from the same d0 + dz*cw tables; they differ
+    # only in evaluation order (f32 roundoff).
+    assert np.max(np.abs(a - b)) < 1e-4
+    la = np.asarray(f_ref.loglike_cube(u))
+    lb = np.asarray(f_pal.loglike_cube(u))
+    assert np.allclose(la, lb, rtol=1e-5, atol=0.05)
