@@ -172,13 +172,13 @@ def main():
         st = init_state(fwd.loglike_cube, jax.random.PRNGKey(0), c2)
         st = run_steps(fwd.loglike_cube, st, c2, 3)  # compile + warm
         jax.block_until_ready(st.logz)
+        n0 = int(st.n_like)
         t0 = time.perf_counter()
         st = run_steps(fwd.loglike_cube, st, c2, 10)
         jax.block_until_ready(st.logz)
         dt = time.perf_counter() - t0
-        ndel_study[str(ndel)] = round(
-            (int(st.n_like) - c2.nlive * 2) / dt / 1e3
-        )  # kevals/s proxy
+        ndel_study[str(ndel)] = round((int(st.n_like) - n0) / dt / 1e3)
+        # kevals/s at this deletion-batch width
 
     ntrans = int(model.transition_table()["pidx"].size)
     flops = _flops_per_eval(ntrans, model.npix, 2 * model.kernel_half_size() + 1)

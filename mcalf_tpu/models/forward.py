@@ -273,6 +273,42 @@ class AbsorptionModel:
         lo, hi = self.bounds_lo, self.bounds_hi
         return lo + np.asarray(cube, dtype=np.float64) * (hi - lo)
 
+    def canon_layout(self):
+        """Label-symmetry gauge-fixing layout for the sampler
+        (NSConfig.canon_layout): ``(startind, ncompmax, nfill, ncomp_lo,
+        ncomp_hi)``, or None when the components are NOT exchangeable.
+
+        Relabeling component triplets is an exact likelihood symmetry only
+        when every component shares identical (N, z, b) priors (the default
+        construction; per-component zranges break it,
+        hires_fitter.py:143-145) and no Gaussian priors distinguish
+        dimensions."""
+        if self.gpriors is not None:
+            return None
+        lo, hi = self.bounds_lo, self.bounds_hi
+
+        def _blocks_equal(start, n):
+            if n <= 1:
+                return True
+            blo = lo[start : start + 3 * n].reshape(n, 3)
+            bhi = hi[start : start + 3 * n].reshape(n, 3)
+            return bool(
+                np.all(blo == blo[0]) and np.all(bhi == bhi[0])
+            )
+
+        base = self.startind + 1
+        if not _blocks_equal(base, self.ncompmax):
+            return None
+        if not _blocks_equal(base + 3 * self.ncompmax, self.nfill):
+            return None
+        return (
+            self.startind,
+            int(self.ncompmax),
+            int(self.nfill),
+            float(lo[self.startind]),
+            float(hi[self.startind]),
+        )
+
     # ------------------------------------------------------------------
     # Float64 numpy forward model (plot/mock parity path).
     def voigt_tau(self, wave_cm: np.ndarray, logN, z, b_cgs, wrest_cm, f, gamma):

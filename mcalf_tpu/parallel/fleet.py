@@ -39,7 +39,36 @@ from mcalf_tpu.sampler.nested import (
     run_steps,
 )
 
-__all__ = ["make_mesh", "fit_many", "fit_stacked"]
+__all__ = ["init_distributed", "make_mesh", "fit_many", "fit_stacked"]
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    local_device_ids=None,
+) -> int:
+    """Initialize the multi-host (DCN) runtime and return the process count.
+
+    Wraps ``jax.distributed.initialize``: on TPU pods the arguments are
+    auto-detected from the environment; for multi-process CPU/GPU testing
+    pass them explicitly.  After this, ``jax.devices()`` spans all hosts and
+    :func:`make_mesh` builds a global mesh, so ``fit_many``/``fit_stacked``
+    shard their problem axis across hosts with no further changes -- the
+    fits are embarrassingly parallel, so the DCN only carries the final
+    gather (SURVEY.md section 5.8; replaces the reference's
+    mpi4py/MPI.COMM_WORLD plumbing, cli.py:37-41,158).
+
+    Safe to call once per process before any backend touch; a second call
+    raises (mirror of jax.distributed semantics).
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=local_device_ids,
+    )
+    return jax.process_count()
 
 _STATIC_KEYS = ("pidx", "comp_id", "is_fill", "u_zidx")
 
@@ -157,4 +186,13 @@ def fit_many(
 ) -> NSResults:
     """Fit a list of structurally identical problems across the mesh."""
     spec, stacked = stack_problems(models, conv_mode=conv_mode)
+    # Label-symmetry gauge fixing when it is a shared exact symmetry of
+    # every stacked problem (see NSConfig.canon_layout).
+    layouts = {m.canon_layout() for m in models}
+    if config.canon_layout is None and len(layouts) == 1:
+        layout = layouts.pop()
+        if layout is not None:
+            import dataclasses
+
+            config = dataclasses.replace(config, canon_layout=layout)
     return fit_stacked(spec, stacked, config, seed=seed, mesh=mesh)

@@ -74,11 +74,16 @@ def build_model(configpars: Dict[str, Any], debug: bool = False) -> AbsorptionMo
     )
 
 
-def solver_nsconfig(configpars: Dict[str, Any], ndim: int) -> Tuple[NSConfig, int]:
+def solver_nsconfig(
+    configpars: Dict[str, Any], ndim: int
+) -> Tuple[NSConfig, int, bool]:
     """Map a solver name + its settings section onto the native sampler.
 
-    Returns (NSConfig, resample_S).  Defaults per solver mirror the
-    reference's defaults for that backend:
+    Returns (NSConfig, resample_S, dynamic).  ``dynamic`` selects the
+    two-pass posterior-boost sampler (sampler/dynamic.py): on by default
+    for solver=dypolychord (its reference role, cli.py:122-158), or forced
+    either way with ``[ns_settings] dynamic``.  Defaults per solver mirror
+    the reference's defaults for that backend:
     * polychord/dypolychord: nlive=100, num_repeats=20, precision 1e-3
       (cli.py:91-93)
     * multinest: nlive=1000, evidence_tolerance=0.1 (cli.py:170-182)
@@ -121,6 +126,12 @@ def solver_nsconfig(configpars: Dict[str, Any], ndim: int) -> Tuple[NSConfig, in
     precision = float(s.get("precision_criterion", precision))
     max_samples = int(float(s.get("max_samples", max_samples)))
     difficult = bool(s.get("difficult_model", difficult))
+    dyn_raw = s.get("dynamic", solver == "dypolychord")
+    dynamic = (
+        dyn_raw
+        if isinstance(dyn_raw, bool)
+        else str(dyn_raw).strip().lower() in ("true", "1", "yes")
+    )
 
     cfg = NSConfig(
         ndim=ndim,
@@ -132,7 +143,7 @@ def solver_nsconfig(configpars: Dict[str, Any], ndim: int) -> Tuple[NSConfig, in
         difficult_model=difficult,
     )
     resample_S = max_samples if solver == "jaxns" else 0  # 0 -> use n_dead
-    return cfg, resample_S
+    return cfg, resample_S, dynamic
 
 
 def chain_basename(configpars: Dict[str, Any]) -> str:
@@ -166,7 +177,15 @@ def run_fit(
     if model is None:
         model = build_model(configpars, debug=debug)
     fwd = make_jax_forward(model, gpriors=model.gpriors is not None)
-    cfg, resample_S = solver_nsconfig(configpars, model.ndim)
+    cfg, resample_S, dynamic = solver_nsconfig(configpars, model.ndim)
+    layout = model.canon_layout()
+    if layout is not None:
+        # Label-symmetry gauge fixing (see NSConfig.canon_layout): collapses
+        # the ncompmax! permutation modes so the slice kernel mixes the
+        # actual posterior geometry.
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, canon_layout=layout)
 
     if debug:
         print(
@@ -174,7 +193,8 @@ def run_fit(
             f"num_repeats={cfg.resolved().num_repeats}, "
             f"num_delete={cfg.resolved().num_delete}, "
             f"max_samples={cfg.max_samples}, "
-            f"precision={cfg.precision_criterion}, ndim={model.ndim}"
+            f"precision={cfg.precision_criterion}, ndim={model.ndim}, "
+            f"dynamic={dynamic}"
         )
 
     seed = int(configpars.get("seed", 43))
@@ -211,18 +231,42 @@ def run_fit(
                 )
                 prune_checkpoints(ckpt_dir, keep=3)
 
-        res = nested_sample(
-            fwd.loglike_cube,
-            jax.random.PRNGKey(seed),
-            cfg,
-            state=state,
-            on_chunk=on_chunk if (ckpt_dir or showprogress) else None,
-        )
-        jax.block_until_ready(res.logz)
+        if dynamic:
+            # Two-pass posterior-boost sampling (sampler/dynamic.py) -- the
+            # dyPolyChord analogue.  Checkpoint resume does not apply to the
+            # two-pass flow; progress/checkpoints stay off here.
+            from mcalf_tpu.sampler import dynamic_sample
+
+            dyn = dynamic_sample(fwd.loglike_cube, jax.random.PRNGKey(seed), cfg)
+            res, post = dyn.base, dyn.merged
+            logz, logzerr = dyn.merged.logz, dyn.merged.logzerr
+            unconverged = any(
+                int(r.termination_reason) != 0 for r in (dyn.base, dyn.boost)
+            )
+            if debug:
+                from mcalf_tpu.sampler import posterior_ess
+
+                print(
+                    f"[DEBUG]: dynamic boost above lnL={dyn.l_init:.3f}; "
+                    f"posterior ESS {posterior_ess(dyn.base.log_posterior_weights):.0f}"
+                    f" -> {posterior_ess(dyn.merged.log_posterior_weights):.0f}"
+                )
+        else:
+            res = nested_sample(
+                fwd.loglike_cube,
+                jax.random.PRNGKey(seed),
+                cfg,
+                state=state,
+                on_chunk=on_chunk if (ckpt_dir or showprogress) else None,
+            )
+            jax.block_until_ready(res.logz)
+            post = res
+            logz, logzerr = float(res.logz), float(res.logzerr)
+            unconverged = int(res.termination_reason) != 0
     t1 = datetime.datetime.now()
     print("Execution time {}".format(t1 - t0))
 
-    if int(res.termination_reason) != 0:
+    if unconverged:
         print(
             "WARNING: sampler hit max_samples before the evidence converged; "
             "consider raising max_samples."
@@ -230,7 +274,7 @@ def run_fit(
 
     os.makedirs(configpars["chaindir"], exist_ok=True)
     base = chain_basename(configpars)
-    write_stats(base + ".stats", float(res.logz), float(res.logzerr))
+    write_stats(base + ".stats", float(logz), float(logzerr))
 
     if debug:
         # Sampler-diagnostics figure, the reference's jaxns --debug analogue
@@ -250,8 +294,10 @@ def run_fit(
         )
         plot_diagnostics(res, cfg, png)
 
-    S = resample_S if resample_S > 0 else int(res.n_dead)
-    su, logl = resample_equal(jax.random.PRNGKey(42), res, S)
+    S = resample_S if resample_S > 0 else int(
+        np.isfinite(np.asarray(post.log_posterior_weights)).sum()
+    )
+    su, logl = resample_equal(jax.random.PRNGKey(42), post, S)
     params = np.asarray(fwd.cube_to_params(su), np.float64)
     matrix = equal_weights_matrix(params, np.asarray(logl))
     write_equal_weights(base + "_equal_weights.txt", matrix)

@@ -11,6 +11,11 @@ from mcalf_tpu.sampler.nested import (
     run_steps,
 )
 from mcalf_tpu.sampler.diagnostics import RankDiagnostic, insertion_rank_test
+from mcalf_tpu.sampler.dynamic import (
+    DynamicResults,
+    dynamic_sample,
+    posterior_ess,
+)
 from mcalf_tpu.sampler.merge import MergedRun, merge_results, nlive_of_logl
 from mcalf_tpu.sampler.results import (
     equal_weights_matrix,
@@ -37,4 +42,7 @@ __all__ = [
     "nlive_of_logl",
     "RankDiagnostic",
     "insertion_rank_test",
+    "DynamicResults",
+    "dynamic_sample",
+    "posterior_ess",
 ]

@@ -52,7 +52,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["NSConfig", "NSResults", "NSState", "nested_sample", "make_sampler"]
+__all__ = [
+    "NSConfig",
+    "NSResults",
+    "NSState",
+    "canonicalize_u",
+    "nested_sample",
+    "make_sampler",
+]
 
 
 @dataclass(frozen=True)
@@ -80,6 +87,23 @@ class NSConfig:
     #: differential-evolution, coordinate-axis); see the direction-mixture
     #: note in run_steps
     move_mix: tuple = (1.0, 1.0, 1.0)
+    #: label-symmetry gauge fixing for trans-dimensional component fits:
+    #: ``(startind, ncompmax, nfill)`` describing the
+    #: [head..., ncomp, (N,z,b) x ncompmax, (N,z,b) x nfill] layout
+    #: (SURVEY.md section 3.4).  When set (and ONLY valid when all
+    #: components share identical priors, so relabeling is an exact
+    #: likelihood symmetry -- see AbsorptionModel.canon_layout), every live
+    #: point is mapped after each step to its canonical representative:
+    #: active triplets sorted by z first, then inactive ones, fillers
+    #: sorted among themselves.  The map permutes coordinates
+    #: (volume-preserving) and leaves L unchanged, so the NS bookkeeping is
+    #: untouched -- but the ncompmax! x nfill! equivalent label modes
+    #: collapse onto one wedge, where whitening/DE directions describe the
+    #: actual posterior instead of a mixture of permuted copies.  Measured
+    #: on the flagship 10-component fit: without it logZ still climbs
+    #: between num_repeats=544 and 1088 (under-mixing across label modes);
+    #: with it the evidence stabilizes at far lower repeat counts.
+    canon_layout: Optional[tuple] = None
 
     def resolved(self) -> "NSConfig":
         """Fill defaulted fields.  Idempotent: an explicit ``num_repeats`` is
@@ -254,7 +278,7 @@ def init_state(loglike_batch, key, config: NSConfig) -> NSState:
     ndim, nlive, cap = cfg.ndim, cfg.nlive, int(cfg.max_samples)
     f32 = jnp.float32
     key, k0 = jax.random.split(key)
-    live_u = jax.random.uniform(k0, (nlive, ndim), dtype=f32)
+    live_u = _canon_live(jax.random.uniform(k0, (nlive, ndim), dtype=f32), cfg)
     live_logl = loglike_batch(live_u)
     return NSState(
         key=key,
@@ -297,6 +321,185 @@ def _not_done(s: NSState, cfg: NSConfig):
 def is_done(state: NSState, config: NSConfig) -> bool:
     """Host-side: has the run terminated (converged or capped)?"""
     return not bool(_not_done(state, config.resolved()))
+
+
+def canonicalize_u(u, layout, ncomp_vals):
+    """Map unit-cube points to their canonical label representative.
+
+    ``layout`` = (startind, ncompmax, nfill); ``ncomp_vals`` the (batched)
+    physical ncomp values (so floor gives the active count).  Sorts the
+    ncompmax component triplets by (active-first, then z), i.e. the active
+    set keeps exactly its members but z-ordered, inactive triplets follow
+    z-ordered; filler triplets sort among themselves.  Pure coordinate
+    permutation per point: volume-preserving and likelihood-invariant
+    (valid only under exchangeable per-component priors; see
+    NSConfig.canon_layout)."""
+    startind, ncompmax, nfill = layout
+    base = startind + 1
+    trip = u[..., base : base + 3 * ncompmax]
+    trip = trip.reshape(u.shape[:-1] + (ncompmax, 3))
+    nact = jnp.floor(ncomp_vals)[..., None]
+    idx = jnp.arange(ncompmax, dtype=u.dtype)
+    # active triplets (i < nact) keyed by z in [0,1); inactive shifted +2
+    key = jnp.where(idx < nact, trip[..., 1], trip[..., 1] + 2.0)
+    order = jnp.argsort(key, axis=-1)
+    trip = jnp.take_along_axis(trip, order[..., None], axis=-2)
+    out = u.at[..., base : base + 3 * ncompmax].set(
+        trip.reshape(u.shape[:-1] + (3 * ncompmax,))
+    )
+    if nfill > 1:
+        fb = base + 3 * ncompmax
+        ftrip = u[..., fb : fb + 3 * nfill].reshape(
+            u.shape[:-1] + (nfill, 3)
+        )
+        forder = jnp.argsort(ftrip[..., 1], axis=-1)
+        ftrip = jnp.take_along_axis(ftrip, forder[..., None], axis=-2)
+        out = out.at[..., fb : fb + 3 * nfill].set(
+            ftrip.reshape(u.shape[:-1] + (3 * nfill,))
+        )
+    return out
+
+
+def _canon_live(live_u, cfg):
+    """Apply the gauge fixing to a live-point set (no-op without layout)."""
+    if cfg.canon_layout is None:
+        return live_u
+    startind = cfg.canon_layout[0]
+    # ncomp value in u-space: the ncomp dim maps affinely to physical ncomp,
+    # but floor(physical) is what the likelihood uses.  The sampler works in
+    # the cube and does not know the affine map -- the layout therefore
+    # carries the PHYSICAL bounds of the ncomp dim as optional extras.
+    if len(cfg.canon_layout) == 5:
+        lo, hi = cfg.canon_layout[3], cfg.canon_layout[4]
+        ncomp_vals = lo + live_u[..., startind] * (hi - lo)
+    else:
+        ncomp_vals = live_u[..., startind]
+    return canonicalize_u(live_u, cfg.canon_layout[:3], ncomp_vals)
+
+
+def slice_chains(
+    loglike_batch, key, u_start, logl_start, surv_u, surv_logl, lstar, cfg
+):
+    """Evolve B slice-sampling chains for ``cfg.num_repeats`` passes under
+    the hard constraint L > lstar, using the survivor set for whitening and
+    differential-evolution directions.
+
+    Every start point must satisfy the constraint.  Returns
+    (u_new, logl_new, key, n_evals).  This is the constrained-replacement
+    engine of the NS step, factored out so the dynamic (posterior-boost)
+    sampler can reuse it to decorrelate fresh live sets at an arbitrary
+    threshold (sampler/dynamic.py)."""
+    ndim = cfg.ndim
+    B = u_start.shape[0]
+    nsurv = surv_u.shape[0]
+    f32 = jnp.float32
+
+    # Affine whitening from the survivor covariance (PolyChord-style).
+    centered = surv_u - jnp.mean(surv_u, axis=0)
+    cov = centered.T @ centered / (nsurv - 1)
+    cov = cov + 1e-10 * jnp.eye(ndim, dtype=f32)
+    chol = jnp.linalg.cholesky(cov)                   # (ndim, ndim)
+
+    def slice_pass(carry, _):
+        u_cur, logl_cur, key, n_like = carry
+        key, kd, kj, km = jax.random.split(key, 4)
+        # Unit direction in the whitened frame, mapped through L: |d| is
+        # then ~ the live-point spread along that direction, so the
+        # shrink loop converges in O(1) iterations.
+        n = jax.random.normal(kd, (B, ndim), f32)
+        n = n / (jnp.linalg.norm(n, axis=1, keepdims=True) + 1e-12)
+        d_white = n @ chol.T
+        # Direction mixture.  With the cube-chord bracket only the
+        # ANGULAR distribution matters (the bracket ignores |d|), and no
+        # single family mixes every phase of a real absorption fit:
+        # * whitened Gaussian -- right for the unimodal late phase;
+        # * global differential evolution (difference of two random
+        #   survivors) -- carries mode-to-mode vectors when the region
+        #   fragments (noise-induced secondary redshift channels);
+        # * coordinate axes -- the slab+tunnel mid-phase of absorption
+        #   fits is axis-aligned in the collapsed (redshift) dims, which
+        #   generic directions cross at unproductive angles.
+        # (A "local DE" variant -- nearest-neighbor pairs -- was tried
+        # and makes things WORSE: small steps under-explore; measured
+        # -4.3 nats on the 1-comp CIV anchor.)  Direction choice is
+        # independent of the current point within a pass, so the
+        # mixture is a valid slice kernel.
+        w_white, w_de, w_axis = cfg.move_mix
+        tot = w_white + w_de + w_axis
+        r_mv = jax.random.uniform(km, (B, 1), f32) * tot
+        jidx = jax.random.randint(kj, (2, B), 0, nsurv)
+        d_diff = surv_u[jidx[0]] - surv_u[jidx[1]]
+        de_ok = jnp.linalg.norm(d_diff, axis=1, keepdims=True) > 1e-7
+        key, ka = jax.random.split(key)
+        axis_idx = jax.random.randint(ka, (B,), 0, ndim)
+        d_axis = jax.nn.one_hot(axis_idx, ndim, dtype=f32)
+        d = jnp.where(
+            (r_mv < w_de) & de_ok,
+            d_diff,
+            jnp.where(r_mv < w_de + w_axis, d_axis, d_white),
+        )
+        # Exact cube-chord bracket: the full extent of the line
+        # u_cur + t d inside the unit cube.  This PROVABLY contains the
+        # entire slice (slice subset of prior support), so shrinkage-only
+        # is an unconditionally valid slice kernel (Neal 2003) with ZERO
+        # bracket-expansion likelihood calls -- unlike a fixed-width
+        # bracket (which truncates wide slices and biases logZ, measured
+        # +0.15..+0.34 nats at ndim=8) or step-out (correct but ~2.5x
+        # the evals per pass on multimodal trans-dimensional fits, where
+        # expansions chase distant modes).  Whitening keeps the expected
+        # chord/slice ratio O(10), so shrinkage converges in
+        # ~log2(chord/slice)+2 ~ 5-8 iterations.
+        safe_d = jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+        c1 = (0.0 - u_cur) / safe_d                   # (B, ndim)
+        c2 = (1.0 - u_cur) / safe_d
+        lo = jnp.max(jnp.minimum(c1, c2), axis=1)     # (B,)
+        hi = jnp.min(jnp.maximum(c1, c2), axis=1)
+
+        def shrink_cond(c):
+            _, _, _, _, done, _, it, _ = c
+            return (~jnp.all(done)) & (it < cfg.max_shrink)
+
+        def shrink_body(c):
+            lo, hi, u_new, logl_new, done, key, it, n_like = c
+            key, kt = jax.random.split(key)
+            t = lo + jax.random.uniform(kt, (B,), f32) * (hi - lo)
+            u_prop = u_cur + t[:, None] * d
+            inside = jnp.all((u_prop >= 0.0) & (u_prop <= 1.0), axis=1)
+            ll_prop = loglike_batch(jnp.clip(u_prop, 0.0, 1.0))
+            ll_prop = jnp.where(inside, ll_prop, -jnp.inf)
+            acc = (ll_prop > lstar) & (~done)
+            u_new = jnp.where(acc[:, None], u_prop, u_new)
+            logl_new = jnp.where(acc, ll_prop, logl_new)
+            shrink = (~done) & (~acc)
+            lo = jnp.where(shrink & (t < 0), t, lo)
+            hi = jnp.where(shrink & (t >= 0), t, hi)
+            done = done | acc
+            return (lo, hi, u_new, logl_new, done, key, it + 1, n_like + B)
+
+        init = (
+            lo,
+            hi,
+            u_cur,
+            logl_cur,
+            jnp.zeros((B,), bool),
+            key,
+            jnp.int32(0),
+            n_like,
+        )
+        lo, hi, u_new, logl_new, done, key, _, n_like = jax.lax.while_loop(
+            shrink_cond, shrink_body, init
+        )
+        # Chains that never accepted (bracket exhausted) stay in place --
+        # valid (identity kernel) though it wastes decorrelation.
+        return (u_new, logl_new, key, n_like), None
+
+    (u_new, logl_new, key, n_like), _ = jax.lax.scan(
+        slice_pass,
+        (u_start, logl_start, key, jnp.int32(0)),
+        None,
+        length=cfg.num_repeats,
+    )
+    return u_new, logl_new, key, n_like
 
 
 @partial(jax.jit, static_argnums=(0, 2, 3))
@@ -359,15 +562,6 @@ def run_steps(loglike_batch, state: NSState, config: NSConfig, num_steps: int) -
         # ---- replacement: slice sampling from random survivors ---------
         surv_u = s.live_u[surv]                           # (nlive-B, ndim)
         surv_logl = s.live_logl[surv]
-        # Affine whitening from the survivor covariance (PolyChord-style):
-        # slice directions d = L n, n ~ N(0, I), align with the local
-        # posterior geometry, so fewer repeats are needed to decorrelate
-        # than with axis-aligned or diagonal proposals.
-        nsurv = surv_u.shape[0]
-        centered = surv_u - jnp.mean(surv_u, axis=0)
-        cov = centered.T @ centered / (nsurv - 1)
-        cov = cov + 1e-10 * jnp.eye(ndim, dtype=f32)
-        chol = jnp.linalg.cholesky(cov)                   # (ndim, ndim)
 
         key, kstart = jax.random.split(key)
         # Starts drawn WITHOUT replacement: duplicate start points correlate
@@ -382,105 +576,10 @@ def run_steps(loglike_batch, state: NSState, config: NSConfig, num_steps: int) -
         u_cur = surv_u[start_idx]                         # (B, ndim)
         logl_cur = surv_logl[start_idx]
 
-        def slice_pass(carry, _):
-            u_cur, logl_cur, key, n_like = carry
-            key, kd, kj, km = jax.random.split(key, 4)
-            # Unit direction in the whitened frame, mapped through L: |d| is
-            # then ~ the live-point spread along that direction, so the
-            # shrink loop converges in O(1) iterations.
-            n = jax.random.normal(kd, (B, ndim), f32)
-            n = n / (jnp.linalg.norm(n, axis=1, keepdims=True) + 1e-12)
-            d_white = n @ chol.T
-            # Direction mixture.  With the cube-chord bracket only the
-            # ANGULAR distribution matters (the bracket ignores |d|), and no
-            # single family mixes every phase of a real absorption fit:
-            # * whitened Gaussian -- right for the unimodal late phase;
-            # * global differential evolution (difference of two random
-            #   survivors) -- carries mode-to-mode vectors when the region
-            #   fragments (noise-induced secondary redshift channels);
-            # * coordinate axes -- the slab+tunnel mid-phase of absorption
-            #   fits is axis-aligned in the collapsed (redshift) dims, which
-            #   generic directions cross at unproductive angles.
-            # (A "local DE" variant -- nearest-neighbor pairs -- was tried
-            # and makes things WORSE: small steps under-explore; measured
-            # -4.3 nats on the 1-comp CIV anchor.)  Direction choice is
-            # independent of the current point within a pass, so the
-            # mixture is a valid slice kernel.
-            w_white, w_de, w_axis = cfg.move_mix
-            tot = w_white + w_de + w_axis
-            r_mv = jax.random.uniform(km, (B, 1), f32) * tot
-            jidx = jax.random.randint(kj, (2, B), 0, nlive - B)
-            d_diff = surv_u[jidx[0]] - surv_u[jidx[1]]
-            de_ok = jnp.linalg.norm(d_diff, axis=1, keepdims=True) > 1e-7
-            key, ka = jax.random.split(key)
-            axis_idx = jax.random.randint(ka, (B,), 0, ndim)
-            d_axis = jax.nn.one_hot(axis_idx, ndim, dtype=f32)
-            d = jnp.where(
-                (r_mv < w_de) & de_ok,
-                d_diff,
-                jnp.where(r_mv < w_de + w_axis, d_axis, d_white),
-            )
-            # Exact cube-chord bracket: the full extent of the line
-            # u_cur + t d inside the unit cube.  This PROVABLY contains the
-            # entire slice (slice subset of prior support), so shrinkage-only
-            # is an unconditionally valid slice kernel (Neal 2003) with ZERO
-            # bracket-expansion likelihood calls -- unlike a fixed-width
-            # bracket (which truncates wide slices and biases logZ, measured
-            # +0.15..+0.34 nats at ndim=8) or step-out (correct but ~2.5x
-            # the evals per pass on multimodal trans-dimensional fits, where
-            # expansions chase distant modes).  Whitening keeps the expected
-            # chord/slice ratio O(10), so shrinkage converges in
-            # ~log2(chord/slice)+2 ~ 5-8 iterations.
-            safe_d = jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
-            c1 = (0.0 - u_cur) / safe_d                   # (B, ndim)
-            c2 = (1.0 - u_cur) / safe_d
-            lo = jnp.max(jnp.minimum(c1, c2), axis=1)     # (B,)
-            hi = jnp.min(jnp.maximum(c1, c2), axis=1)
-
-            def shrink_cond(c):
-                _, _, _, _, done, _, it, _ = c
-                return (~jnp.all(done)) & (it < cfg.max_shrink)
-
-            def shrink_body(c):
-                lo, hi, u_new, logl_new, done, key, it, n_like = c
-                key, kt = jax.random.split(key)
-                t = lo + jax.random.uniform(kt, (B,), f32) * (hi - lo)
-                u_prop = u_cur + t[:, None] * d
-                inside = jnp.all((u_prop >= 0.0) & (u_prop <= 1.0), axis=1)
-                ll_prop = loglike_batch(jnp.clip(u_prop, 0.0, 1.0))
-                ll_prop = jnp.where(inside, ll_prop, -jnp.inf)
-                acc = (ll_prop > lstar) & (~done)
-                u_new = jnp.where(acc[:, None], u_prop, u_new)
-                logl_new = jnp.where(acc, ll_prop, logl_new)
-                shrink = (~done) & (~acc)
-                lo = jnp.where(shrink & (t < 0), t, lo)
-                hi = jnp.where(shrink & (t >= 0), t, hi)
-                done = done | acc
-                return (lo, hi, u_new, logl_new, done, key, it + 1, n_like + B)
-
-            init = (
-                lo,
-                hi,
-                u_cur,
-                logl_cur,
-                jnp.zeros((B,), bool),
-                key,
-                jnp.int32(0),
-                n_like,
-            )
-            lo, hi, u_new, logl_new, done, key, _, n_like = jax.lax.while_loop(
-                shrink_cond, shrink_body, init
-            )
-            # Chains that never accepted (bracket exhausted) stay in place --
-            # valid (identity kernel) though it wastes decorrelation.
-            return (u_new, logl_new, key, n_like), None
-
-        (u_new, logl_new, key, n_like), _ = jax.lax.scan(
-            slice_pass,
-            (u_cur, logl_cur, key, s.n_like),
-            None,
-            length=cfg.num_repeats,
+        u_new, logl_new, key, n_evals = slice_chains(
+            loglike_batch, key, u_cur, logl_cur, surv_u, surv_logl, lstar, cfg
         )
+        n_like = s.n_like + n_evals
 
         # ---- insertion-rank diagnostic ---------------------------------
         # Each replacement is (under correct constrained sampling) an iid
@@ -494,7 +593,10 @@ def run_steps(loglike_batch, state: NSState, config: NSConfig, num_steps: int) -
         dead_rank = jax.lax.dynamic_update_slice(s.dead_rank, ranks, (s.n_dead,))
 
         # ---- rebuild live set ------------------------------------------
-        live_u = s.live_u.at[worst].set(u_new)
+        # Gauge fixing: map every point to its canonical label
+        # representative (coordinate permutation within each point; L and
+        # per-point birth contours unchanged).  Idempotent on survivors.
+        live_u = _canon_live(s.live_u.at[worst].set(u_new), cfg)
         live_logl = s.live_logl.at[worst].set(logl_new)
         live_birth = s.live_birth.at[worst].set(lstar)
 

@@ -24,11 +24,18 @@ __all__ = [
 ]
 
 
-def resample_equal(key, results: NSResults, S: int) -> Tuple[jax.Array, jax.Array]:
+def resample_equal(key, results, S: int) -> Tuple[jax.Array, jax.Array]:
     """Draw S equally-weighted posterior samples (with replacement) from the
-    weighted dead-point set.  Returns (samples_u (S, ndim), logl (S,))."""
-    idx = jax.random.categorical(key, results.log_posterior_weights, shape=(S,))
-    return results.samples_u[idx], results.logl[idx]
+    weighted dead-point set.  Returns (samples_u (S, ndim), logl (S,)).
+
+    Duck-typed: accepts :class:`NSResults` or a
+    :class:`~mcalf_tpu.sampler.merge.MergedRun` (host numpy arrays)."""
+    logp = jnp.asarray(results.log_posterior_weights, jnp.float32)
+    idx = jax.random.categorical(key, logp, shape=(S,))
+    return (
+        jnp.asarray(results.samples_u, jnp.float32)[idx],
+        jnp.asarray(results.logl, jnp.float32)[idx],
+    )
 
 
 def posterior_stats(results: NSResults):

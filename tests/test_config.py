@@ -63,7 +63,7 @@ def test_mandatory_keys(tmp_path):
 
 def test_solver_mapping(testdata_dir):
     cfg = readconfig(f"{testdata_dir}/fit.cfg")
-    ns, S = solver_nsconfig(cfg, ndim=34)
+    ns, S, _ = solver_nsconfig(cfg, ndim=34)
     # jaxns settings from fit.cfg: max_samples=2000, nlive=200, difficult.
     assert ns.nlive == 200
     assert ns.max_samples == 2000
@@ -71,7 +71,7 @@ def test_solver_mapping(testdata_dir):
     assert S == 2000
     # polychord mapping picks up pc_settings.
     cfg2 = dict(cfg, solver="polychord")
-    ns2, S2 = solver_nsconfig(cfg2, ndim=34)
+    ns2, S2, _ = solver_nsconfig(cfg2, ndim=34)
     assert ns2.nlive == 150
     assert ns2.num_repeats == 25
     assert ns2.precision_criterion == 0.01

@@ -120,6 +120,55 @@ num_live_points = 60
     assert os.path.exists(tmp_path / "plots" / "dbg_0_diagnostics.png")
 
 
+def test_dypolychord_dynamic_end_to_end(tmp_path, testdata_dir):
+    # solver=dypolychord runs the two-pass dynamic sampler through the full
+    # CLI; the chain files must carry the merged posterior.
+    cfg = tmp_path / "fit.cfg"
+    cfg.write_text(
+        f"""
+[input]
+specfile = civ_mock_spec.txt
+wavefit = 6180,6220
+linelist = CIV 1548, CIV 1550
+coldef = Wave, Flux, Err
+solver = dypolychord
+specres = 8.0
+
+[pathing]
+datadir = {testdata_dir}/
+outdir = {tmp_path}/
+chainfmt = dy_{{0}}
+
+[components]
+ncomp = 1,1
+contval  = 1
+Nrange = 12.0,14.5
+brange = 10.0, 40.0
+zrange = 2.99, 3.01
+
+[run]
+dofit = True
+doplot = False
+
+[ns_settings]
+nlive = 60
+max_samples = 3000
+precision_criterion = 0.01
+"""
+    )
+    rc = main([str(cfg)])
+    assert rc == 0
+    from mcalf_tpu.io.chains import read_stats
+
+    lnz, err = read_stats(str(tmp_path / "fits" / "dy_0.stats"))
+    # brute-force quadrature truth for this (reference) mock: 4983.62
+    assert abs(lnz - 4983.62) < 3.0, lnz
+    base = str(tmp_path / "fits" / "dy_0")
+    _, _, _, post = analyze_chains(base)
+    assert abs(np.nanmedian(post[:, 1]) - 13.8) < 0.06
+    assert abs(np.nanmedian(post[:, 2]) - 3.0) < 1e-4
+
+
 def test_refit_with_dofit_false_reuses_chains(e2e_outputs, testdata_dir, capsys):
     # doplot-only invocation must work from the chain files alone
     # (fit and analysis communicate only via disk, SURVEY.md 5.4).

@@ -154,3 +154,68 @@ def test_reproducible_with_same_key():
     r2 = nested_sample(ll, jax.random.PRNGKey(7), cfg)
     assert float(r1.logz) == float(r2.logz)
     assert int(r1.n_like) == int(r2.n_like)
+
+
+def test_canonicalize_u_properties():
+    # Gauge fixing must be a pure per-point coordinate permutation: active
+    # triplets keep exactly their member set (z-sorted first), inactive
+    # triplets follow, and the map is idempotent.
+    from mcalf_tpu.sampler.nested import canonicalize_u
+
+    rng = np.random.default_rng(0)
+    startind, K, nfill = 1, 4, 2
+    ndim = startind + 1 + 3 * (K + nfill)
+    u = rng.random((64, ndim)).astype(np.float32)
+    ncomp_vals = rng.uniform(1, K + 1, 64).astype(np.float32)
+    out = np.asarray(canonicalize_u(jnp.asarray(u), (startind, K, nfill), jnp.asarray(ncomp_vals)))
+
+    base = startind + 1
+    for i in range(64):
+        nact = int(ncomp_vals[i])
+        trip_in = u[i, base : base + 3 * K].reshape(K, 3)
+        trip_out = out[i, base : base + 3 * K].reshape(K, 3)
+        # active set preserved as a set, z-sorted
+        a_in = sorted(map(tuple, trip_in[:nact]), key=lambda t: t[1])
+        a_out = list(map(tuple, trip_out[:nact]))
+        assert a_out == a_in, i
+        # inactive set preserved, z-sorted
+        b_in = sorted(map(tuple, trip_in[nact:]), key=lambda t: t[1])
+        b_out = list(map(tuple, trip_out[nact:]))
+        assert b_out == b_in, i
+        # head dims untouched
+        assert np.array_equal(u[i, : base], out[i, : base])
+    # idempotent
+    out2 = np.asarray(canonicalize_u(jnp.asarray(out), (startind, K, nfill), jnp.asarray(ncomp_vals)))
+    assert np.array_equal(out, out2)
+
+
+def test_canon_layout_gauge_fixing_preserves_evidence():
+    # A likelihood symmetric under swapping (dim1,dim2) <-> (dim3,dim4)
+    # pairs: gauge fixing must leave logZ statistically unchanged.
+    # Build a 2-component "triplet" toy in the mcalf layout:
+    # [ncomp, (N,z,b) x 2] with likelihood symmetric in the two triplets.
+    sigma = 0.1
+
+    def ll(u):
+        a = u[..., 1:4]
+        b = u[..., 4:7]
+        r2 = jnp.minimum(
+            jnp.sum((a - 0.3) ** 2, -1) + jnp.sum((b - 0.7) ** 2, -1),
+            jnp.sum((a - 0.7) ** 2, -1) + jnp.sum((b - 0.3) ** 2, -1),
+        )
+        return (-0.5 * r2 / sigma**2).astype(jnp.float32)
+
+    cfg0 = NSConfig(ndim=7, nlive=100, max_samples=8000)
+    cfg1 = NSConfig(
+        ndim=7, nlive=100, max_samples=8000,
+        canon_layout=(0, 2, 0, 2.0, 2.0),
+    )
+    z0 = np.mean([
+        float(nested_sample(ll, jax.random.PRNGKey(s), cfg0).logz)
+        for s in range(6)
+    ])
+    z1 = np.mean([
+        float(nested_sample(ll, jax.random.PRNGKey(s), cfg1).logz)
+        for s in range(6)
+    ])
+    assert abs(z0 - z1) < 0.4, (z0, z1)
