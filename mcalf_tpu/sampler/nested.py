@@ -425,7 +425,15 @@ def slice_chains(
         # independent of the current point within a pass, so the
         # mixture is a valid slice kernel.
         w_white, w_de, w_axis = cfg.move_mix
-        tot = w_white + w_de + w_axis
+        # Fourth family for component-structured models (canon_layout set):
+        # TRIPLET-RESTRICTED differential evolution -- the survivor
+        # difference masked to one random (N, z, b) triplet.  Sliding along
+        # it reassigns a single component wholesale (t=1 swaps in the other
+        # survivor's component) while leaving every other dimension fixed:
+        # the coordinated "move one component to another line" update that
+        # generic directions almost never propose.
+        w_trip = (w_white + w_de + w_axis) / 3.0 if cfg.canon_layout else 0.0
+        tot = w_white + w_de + w_axis + w_trip
         r_mv = jax.random.uniform(km, (B, 1), f32) * tot
         jidx = jax.random.randint(kj, (2, B), 0, nsurv)
         d_diff = surv_u[jidx[0]] - surv_u[jidx[1]]
@@ -433,10 +441,34 @@ def slice_chains(
         key, ka = jax.random.split(key)
         axis_idx = jax.random.randint(ka, (B,), 0, ndim)
         d_axis = jax.nn.one_hot(axis_idx, ndim, dtype=f32)
+        if cfg.canon_layout:
+            startind, ncompmax, nfill = cfg.canon_layout[:3]
+            key, kt_ = jax.random.split(key)
+            tsel = jax.random.randint(kt_, (B,), 0, ncompmax + max(nfill, 0))
+            dim_ids = jnp.arange(ndim)
+            trip_of_dim = (dim_ids - (startind + 1)) // 3  # -1 for head dims
+            tmask = (trip_of_dim[None, :] == tsel[:, None]) & (
+                dim_ids[None, :] >= startind + 1
+            )
+            d_trip = jnp.where(tmask, d_diff, 0.0)
+            trip_ok = (
+                jnp.linalg.norm(d_trip, axis=1, keepdims=True) > 1e-7
+            )
+        else:
+            d_trip = d_diff
+            trip_ok = de_ok
         d = jnp.where(
             (r_mv < w_de) & de_ok,
             d_diff,
-            jnp.where(r_mv < w_de + w_axis, d_axis, d_white),
+            jnp.where(
+                r_mv < w_de + w_axis,
+                d_axis,
+                jnp.where(
+                    (r_mv < w_de + w_axis + w_trip) & trip_ok,
+                    d_trip,
+                    d_white,
+                ),
+            ),
         )
         # Exact cube-chord bracket: the full extent of the line
         # u_cur + t d inside the unit cube.  This PROVABLY contains the
