@@ -249,10 +249,20 @@ def nested_sample(
             if on_chunk is not None:
                 on_chunk(state)
             continue
+        t0 = time.perf_counter()
         state = run_steps(loglike_batch, state, cfg, chunk)
         jax.block_until_ready(state.logz)
+        dt = time.perf_counter() - t0
         if on_chunk is not None:
             on_chunk(state)
+        if chunk_steps <= 0:
+            # Re-tune continuously: per-step cost GROWS over a run (the
+            # constrained region tightens and shrink loops lengthen 3-4x),
+            # so a chunk sized from early steps can drift past execution-
+            # time limits (the axon relay kills device calls > ~60 s).
+            per = max(dt / chunk, 1e-4)
+            chunk = 1 << max(0, int(np.log2(max(target_s / per, 1.0))))
+            chunk = min(chunk, 4096)
 
     results = finalize(loglike_batch, state, cfg)
     return (results, state) if return_state else results
