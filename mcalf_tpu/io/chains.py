@@ -26,9 +26,15 @@ __all__ = [
 ]
 
 
-def write_stats(path: str, logz: float, logzerr: float) -> None:
+def write_stats(path: str, logz: float, logzerr: float, extra_lines=()) -> None:
+    """Write the `.stats` evidence file.  ``extra_lines`` (e.g. sampler
+    health diagnostics) are appended as ``#``-prefixed comment lines --
+    the reference parser (hires_fitter.py:709-714) only consumes lines
+    starting ``log(Z)``, so comments are format-compatible."""
     with open(path, "w") as f:
         f.write("log(Z)   : {}   +/-   {}\n".format(float(logz), float(logzerr)))
+        for line in extra_lines:
+            f.write("# {}\n".format(line))
 
 
 def read_stats(path: str) -> Tuple[float, float]:

@@ -207,6 +207,7 @@ def run_fit(
         # size and is bit-identical to an uninterrupted run); checkpoints and
         # progress hang off the per-chunk callback.
         state = None
+        boost_state = None
         fp = problem_fingerprint(model, cfg, seed) if ckpt_dir else None
         if ckpt_dir:
             prev = latest_checkpoint(ckpt_dir)
@@ -216,28 +217,51 @@ def run_fit(
                 # otherwise resume silently into a wrong run).
                 print(f"Resuming from checkpoint {prev}")
                 state = load_state(prev, fingerprint=fp)
+            if dynamic:
+                prevb = latest_checkpoint(ckpt_dir, prefix="ns_boost")
+                if prevb is not None:
+                    print(f"Resuming boost pass from checkpoint {prevb}")
+                    boost_state = load_state(prevb, fingerprint=fp)
 
-        def on_chunk(s):
-            if showprogress:
-                print(
-                    f"  step {int(s.step):5d}  n_dead={int(s.n_dead):6d}"
-                    f"  logZ={float(s.logz):.3f}  logX={float(s.logx):.2f}"
-                )
-            if ckpt_dir:
-                save_state(
-                    os.path.join(ckpt_dir, f"ns_state_{int(s.step):06d}.npz"),
-                    s,
-                    fingerprint=fp,
-                )
-                prune_checkpoints(ckpt_dir, keep=3)
+        def make_on_chunk(prefix, tag=""):
+            def on_chunk(s):
+                if showprogress:
+                    print(
+                        f"  {tag}step {int(s.step):5d}  n_dead={int(s.n_dead):6d}"
+                        f"  logZ={float(s.logz):.3f}  logX={float(s.logx):.2f}"
+                    )
+                if ckpt_dir:
+                    save_state(
+                        os.path.join(
+                            ckpt_dir, f"{prefix}_{int(s.step):06d}.npz"
+                        ),
+                        s,
+                        fingerprint=fp,
+                    )
+                    prune_checkpoints(ckpt_dir, keep=3, prefix=prefix)
 
+            return on_chunk
+
+        want_cb = bool(ckpt_dir or showprogress)
         if dynamic:
             # Two-pass posterior-boost sampling (sampler/dynamic.py) -- the
-            # dyPolyChord analogue.  Checkpoint resume does not apply to the
-            # two-pass flow; progress/checkpoints stay off here.
+            # dyPolyChord analogue.  Both passes checkpoint and report
+            # through the same chunked machinery (base under the ns_state
+            # prefix, boost under ns_boost); a kill mid-boost resumes past
+            # the (terminal) base checkpoint into the boost pass.
             from mcalf_tpu.sampler import dynamic_sample
 
-            dyn = dynamic_sample(fwd.loglike_cube, jax.random.PRNGKey(seed), cfg)
+            dyn = dynamic_sample(
+                fwd.loglike_cube,
+                jax.random.PRNGKey(seed),
+                cfg,
+                base_state=state,
+                boost_state=boost_state,
+                on_chunk_base=make_on_chunk("ns_state") if want_cb else None,
+                on_chunk_boost=(
+                    make_on_chunk("ns_boost", tag="boost ") if want_cb else None
+                ),
+            )
             res, post = dyn.base, dyn.merged
             logz, logzerr = dyn.merged.logz, dyn.merged.logzerr
             unconverged = any(
@@ -257,7 +281,7 @@ def run_fit(
                 jax.random.PRNGKey(seed),
                 cfg,
                 state=state,
-                on_chunk=on_chunk if (ckpt_dir or showprogress) else None,
+                on_chunk=make_on_chunk("ns_state") if want_cb else None,
             )
             jax.block_until_ready(res.logz)
             post = res
@@ -272,21 +296,46 @@ def run_fit(
             "consider raising max_samples."
         )
 
+    # Insertion-rank health check -- ALWAYS on, not just under --debug: an
+    # under-decorrelated run completes silently with a plausible-looking but
+    # biased evidence, and the rank test (Fowlie et al. 2020) is the cheap
+    # quantitative tripwire.  The verdict goes to stdout AND into the .stats
+    # file as comment lines (format-compatible; see io/chains.write_stats).
+    from mcalf_tpu.sampler import insertion_rank_test
+
+    runs_to_check = [("", res)]
+    if dynamic:
+        runs_to_check.append(("boost ", dyn.boost))
+    stats_extra = []
+    for tag, r in runs_to_check:
+        diag = insertion_rank_test(r, cfg)
+        line = (
+            f"insertion-rank KS p = {diag.p_value:.4f} "
+            f"(blocks {diag.p_value_blocks:.4f}, n={diag.n})"
+        )
+        if debug:
+            print(f"[DEBUG]: {tag}{line}")
+        if diag.p_value < 0.01:
+            warn = (
+                f"WARNING: {tag}insertion-rank test FAILED (p = "
+                f"{diag.p_value:.4f} < 0.01): replacements are "
+                "under-decorrelated and the evidence may be biased; raise "
+                "num_repeats (ns_settings) and re-run."
+            )
+            print(warn)
+            stats_extra.append(tag + line + "  ** FAILED (p < 0.01) **")
+        else:
+            stats_extra.append(tag + line)
+
     os.makedirs(configpars["chaindir"], exist_ok=True)
     base = chain_basename(configpars)
-    write_stats(base + ".stats", float(logz), float(logzerr))
+    write_stats(base + ".stats", float(logz), float(logzerr), stats_extra)
 
     if debug:
         # Sampler-diagnostics figure, the reference's jaxns --debug analogue
-        # (cli.py:288-289) -- plus the quantitative rank test on stdout.
+        # (cli.py:288-289) -- the quantitative rank verdict is printed above.
         from mcalf_tpu.plotting import plot_diagnostics
-        from mcalf_tpu.sampler import insertion_rank_test
 
-        diag = insertion_rank_test(res, cfg)
-        print(
-            f"[DEBUG]: insertion-rank KS p = {diag.p_value:.4f} "
-            f"(blocks {diag.p_value_blocks:.4f}, n={diag.n})"
-        )
         png = os.path.join(
             configpars.get("plotdir", configpars["chaindir"]),
             configpars["chainfmt"].format(configpars["nfill"])

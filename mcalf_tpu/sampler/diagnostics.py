@@ -97,10 +97,18 @@ def insertion_rank_test(
     if block is None:
         block = n_levels
     block = max(int(block), 8)
-    nblocks = max(x.size // block, 1)
+    # Cover EVERY rank including the trailing partial block: late-run ranks
+    # are exactly where under-mixing shows up (the constrained region is
+    # tightest near termination), so dropping the tail would blind the scan
+    # there.  A short tail (< block/2) is folded into the final full block
+    # rather than tested alone (tiny blocks have no KS power).
+    nblocks = max(-(-x.size // block), 1)
+    if nblocks > 1 and x.size - (nblocks - 1) * block < block // 2:
+        nblocks -= 1
     pmin = 1.0
     for i in range(nblocks):
-        _, pb = _ks_uniform(x[i * block : (i + 1) * block])
+        end = x.size if i == nblocks - 1 else (i + 1) * block
+        _, pb = _ks_uniform(x[i * block : end])
         pmin = min(pmin, pb)
     p_blocks = min(pmin * nblocks, 1.0)
 

@@ -140,6 +140,11 @@ def dynamic_sample(
     config: NSConfig,
     boost_config: Optional[NSConfig] = None,
     boost_start_mass: float = 0.01,
+    *,
+    base_state: Optional[NSState] = None,
+    boost_state: Optional[NSState] = None,
+    on_chunk_base: Optional[Callable[[NSState], None]] = None,
+    on_chunk_boost: Optional[Callable[[NSState], None]] = None,
 ) -> DynamicResults:
     """Two-pass dynamic nested sampling (base + posterior boost + merge).
 
@@ -148,15 +153,29 @@ def dynamic_sample(
     likelihood below which this fraction of the base-run posterior mass
     lies (0.01 reproduces dyPolyChord's posterior-focused dynamic_goal=1
     behavior of covering essentially the whole posterior bulk).
+
+    Checkpoint/resume (dyPolyChord resume role, reference cli.py:143-144):
+    both passes run through the same chunked :func:`nested_sample`
+    machinery, so each accepts a resume ``*_state`` and a per-chunk
+    callback.  Resuming from a TERMINAL base state replays the (cheap,
+    deterministic) finalization and goes straight to the boost pass;
+    ``boost_state`` then skips the seeding too.  Threshold selection and
+    boost seeding are deterministic functions of (base results, key), so a
+    resumed run converges to the same flow.
     """
     key, kb = jax.random.split(jnp.asarray(key))
-    base = nested_sample(loglike_batch, kb, config)
+    base = nested_sample(
+        loglike_batch, kb, config, state=base_state, on_chunk=on_chunk_base
+    )
 
     l_init = _choose_l_init(base, boost_start_mass)
     bc = (boost_config or config).resolved()
     key, ks = jax.random.split(key)
-    state0 = _seed_boost_state(loglike_batch, ks, base, l_init, bc)
-    boost = nested_sample(loglike_batch, key, bc, state=state0)
+    if boost_state is None:
+        boost_state = _seed_boost_state(loglike_batch, ks, base, l_init, bc)
+    boost = nested_sample(
+        loglike_batch, key, bc, state=boost_state, on_chunk=on_chunk_boost
+    )
 
     merged = merge_results([base, boost])
     return DynamicResults(merged=merged, base=base, boost=boost, l_init=l_init)

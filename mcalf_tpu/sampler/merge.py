@@ -52,6 +52,30 @@ def _extract(res: NSResults):
     )
 
 
+def _simulated_logzerr(
+    logl: np.ndarray, nlive: np.ndarray, ndraw: int = 64, seed: int = 7
+) -> float:
+    """Std of logZ over ``ndraw`` re-simulations of the stochastic
+    shrinkage d ln X_i = -Exp(1)/n_i (deaths already sorted ascending in
+    ``logl``; ``nlive`` the live count at each death)."""
+    n = logl.size
+    if n == 0:
+        return 0.0
+    rng = np.random.default_rng(seed)
+    # (ndraw, n) exponential shrinkage draws; cumsum along deaths.
+    e = rng.exponential(size=(ndraw, n))
+    logx = np.cumsum(-e / nlive[None, :], axis=1)
+    logx_prev = np.concatenate(
+        [np.zeros((ndraw, 1)), logx[:, :-1]], axis=1
+    )
+    with np.errstate(divide="ignore"):
+        logw = logx_prev + np.log1p(-np.exp(logx - logx_prev))
+    lw = logw + logl[None, :]
+    m = lw.max(axis=1, keepdims=True)
+    logz = m[:, 0] + np.log(np.exp(lw - m).sum(axis=1))
+    return float(np.std(logz))
+
+
 def merge_results(runs: Sequence[NSResults]) -> MergedRun:
     """Merge K independent NSResults of the SAME problem into one weighted
     run (host-side float64)."""
@@ -95,8 +119,15 @@ def merge_results(runs: Sequence[NSResults]) -> MergedRun:
     log_post = lw - logz
     p = np.exp(log_post)
     h = float(np.sum(np.where(finite, p * logl, 0.0)) - logz)
-    total_nlive = int(round(np.mean(nlive[: max(1, n // 10)])))
-    logzerr = float(np.sqrt(max(h, 0.0) / max(total_nlive, 1)))
+    # Evidence error by SIMULATED WEIGHTS (Higson et al. 2018, the
+    # nestcheck/anesthetic method): the only stochastic element of the NS
+    # estimate is the shrinkage itself, d ln X_i = -E_i / n_i with
+    # E_i ~ Exp(1) iid.  Redraw the full shrinkage sequence K times,
+    # recompute logZ under each draw, and take the standard deviation.
+    # Exact for ANY nlive(L) profile -- unlike sqrt(H/nlive), which assumes
+    # constant nlive and has no defensible "nlive" for a merged/boosted run
+    # (validated against repeat-run scatter in tests/test_dynamic.py).
+    logzerr = float(_simulated_logzerr(logl[finite], nlive[finite]))
 
     return MergedRun(
         logz=float(logz),

@@ -606,15 +606,28 @@ def run_steps(loglike_batch, state: NSState, config: NSConfig, num_steps: int) -
         surv_logl = s.live_logl[surv]
 
         key, kstart = jax.random.split(key)
-        # Starts drawn WITHOUT replacement: duplicate start points correlate
-        # the B replacements, which violates the iid assumption behind the
-        # sequential batch-shrinkage bookkeeping and biases logZ upward at
-        # small num_repeats (measured ~ +0.1 nat at nlive=100, B=25, 8
-        # repeats on an analytic Gaussian).  Spread as evenly as possible
-        # when B > nsurv.
-        start_idx = jax.random.permutation(
-            kstart, jnp.arange(B, dtype=jnp.int32) % (nlive - B)
-        )
+        # Starts: a uniformly random B-subset of the survivors, WITHOUT
+        # replacement.  Without-replacement matters because duplicate start
+        # points correlate the B replacements, which violates the iid
+        # assumption behind the sequential batch-shrinkage bookkeeping and
+        # biases logZ upward at small num_repeats (measured ~ +0.1 nat at
+        # nlive=100, B=25, 8 repeats on an analytic Gaussian).  Uniformly-
+        # random matters because survivors are sorted ascending in logl: a
+        # deterministic index set (e.g. always 0..B-1) would start every
+        # chain from the lowest-likelihood survivors hugging the deletion
+        # contour, so at finite num_repeats the replacements inherit a
+        # low-L bias instead of the constrained-prior distribution the
+        # bookkeeping assumes.  When B > nsurv, tile survivors as evenly as
+        # possible (duplicates are then unavoidable).
+        nsurv_ = nlive - B
+        if B <= nsurv_:
+            start_idx = jax.random.permutation(kstart, nsurv_)[:B]
+        else:
+            start_idx = jax.random.permutation(
+                kstart,
+                jnp.tile(jnp.arange(nsurv_, dtype=jnp.int32), -(-B // nsurv_)),
+            )[:B]
+        start_idx = start_idx.astype(jnp.int32)
         u_cur = surv_u[start_idx]                         # (B, ndim)
         logl_cur = surv_logl[start_idx]
 

@@ -78,8 +78,15 @@ def load_state(
     shapes happen to coincide, so a mismatch raises instead."""
     with np.load(path) as z:
         missing = [f for f in _FIELDS if f not in z]
-        if missing:
-            raise ValueError(f"checkpoint {path!r} missing fields {missing}")
+        # Fields added after a checkpoint was written are backfilled with
+        # their init_state() defaults (so in-flight long fits survive
+        # upgrades): dead_rank is purely diagnostic (-1 = unrecorded).
+        backfillable = {"dead_rank"}
+        hard_missing = [f for f in missing if f not in backfillable]
+        if hard_missing:
+            raise ValueError(
+                f"checkpoint {path!r} missing fields {hard_missing}"
+            )
         if fingerprint is not None:
             for k, v in fingerprint.items():
                 key = _FP_PREFIX + k
@@ -94,7 +101,11 @@ def load_state(
                         f"checkpoint {path!r} fingerprint mismatch on {k!r}: "
                         f"checkpoint has {have!r}, current run has {v!r}"
                     )
-        return NSState(**{f: z[f] for f in _FIELDS})
+        fields = {f: z[f] for f in _FIELDS if f in z}
+        if "dead_rank" not in fields:
+            cap = int(fields["dead_logl"].shape[0])
+            fields["dead_rank"] = np.full((cap,), -1, np.int32)
+        return NSState(**fields)
 
 
 def latest_checkpoint(directory: str, prefix: str = "ns_state") -> Optional[str]:

@@ -93,6 +93,30 @@ def test_fingerprint_mismatch_rejected(tmp_path):
     load_state(path)
 
 
+def test_legacy_checkpoint_missing_dead_rank_backfilled(tmp_path):
+    # Checkpoints written before the dead_rank diagnostic field existed must
+    # still resume (the field is backfilled with -1 = unrecorded), so
+    # in-flight long fits survive upgrades.
+    ll = _loglike()
+    cfg = NSConfig(ndim=2, nlive=100, max_samples=8000).resolved()
+    state = init_state(ll, jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "ns_state_0000.npz")
+    arrays = {
+        f: np.asarray(getattr(state, f))
+        for f in state._fields
+        if f != "dead_rank"
+    }
+    np.savez(path, **arrays)
+    loaded = load_state(path)
+    assert loaded.dead_rank.shape == (8000,)
+    assert np.all(loaded.dead_rank == -1)
+    # ...but a genuinely essential field missing still raises
+    arrays.pop("live_u")
+    np.savez(path, **arrays)
+    with pytest.raises(ValueError, match="missing fields"):
+        load_state(path)
+
+
 def test_prune_checkpoints(tmp_path):
     ll = _loglike()
     cfg = NSConfig(ndim=2, nlive=100, max_samples=8000).resolved()

@@ -169,6 +169,71 @@ precision_criterion = 0.01
     assert abs(np.nanmedian(post[:, 2]) - 3.0) < 1e-4
 
 
+def test_rank_guard_warns_on_failing_fit(tmp_path, testdata_dir, capsys, monkeypatch):
+    # The insertion-rank guard is ALWAYS on (no --debug needed): when the
+    # test fails, the runner must print the health warning and record the
+    # failure in the .stats file.  Detection power of the diagnostic itself
+    # is unit-tested (test_sampler.test_rank_block_scan_covers_tail); here a
+    # forced-failure verdict exercises the guard plumbing end-to-end (a real
+    # easy 1-comp fit passes the rank test even when under-repeated, since
+    # chain starts are already constrained-prior distributed).
+    import mcalf_tpu.sampler as sampler_pkg
+    from mcalf_tpu.sampler.diagnostics import RankDiagnostic
+
+    real = sampler_pkg.insertion_rank_test
+
+    def failing(res, cfg=None, **kw):
+        d = real(res, cfg, **kw)
+        return RankDiagnostic(
+            ks_stat=d.ks_stat, p_value=1.6e-3, p_value_blocks=d.p_value_blocks,
+            n=d.n, n_levels=d.n_levels, ranks=d.ranks,
+        )
+
+    monkeypatch.setattr(sampler_pkg, "insertion_rank_test", failing)
+    cfg = tmp_path / "fit.cfg"
+    cfg.write_text(
+        f"""
+[input]
+specfile = civ_mock_spec.txt
+wavefit = 6180,6220
+linelist = CIV 1548, CIV 1550
+coldef = Wave, Flux, Err
+solver = polychord
+specres = 8.0
+
+[pathing]
+datadir = {testdata_dir}/
+outdir = {tmp_path}/
+chainfmt = bad_{{0}}
+
+[components]
+ncomp = 1,1
+contval  = 1
+Nrange = 12.0,14.5
+brange = 10.0, 40.0
+zrange = 2.99, 3.01
+
+[run]
+dofit = True
+doplot = False
+
+[ns_settings]
+nlive = 100
+num_repeats = 8
+max_samples = 4000
+"""
+    )
+    rc = main([str(cfg)])
+    assert rc == 0
+    captured = capsys.readouterr()
+    assert "insertion-rank test FAILED" in captured.out
+    stats = (tmp_path / "fits" / "bad_0.stats").read_text()
+    assert "FAILED (p < 0.01)" in stats
+    # the .stats file stays parseable despite the comment lines
+    lnz, err = read_stats(str(tmp_path / "fits" / "bad_0.stats"))
+    assert np.isfinite(lnz) and err > 0
+
+
 def test_refit_with_dofit_false_reuses_chains(e2e_outputs, testdata_dir, capsys):
     # doplot-only invocation must work from the chain files alone
     # (fit and analysis communicate only via disk, SURVEY.md 5.4).

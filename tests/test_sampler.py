@@ -147,6 +147,28 @@ def test_insertion_rank_uniformity():
     assert diag.ranks.min() == 0 and diag.ranks.max() == 90
 
 
+def test_rank_block_scan_covers_tail():
+    # The per-block scan must test the TRAILING partial block too: late-run
+    # ranks are where under-mixing appears (tightest constrained region), so
+    # a pathology confined to the final partial block must be flagged.
+    from types import SimpleNamespace
+
+    rng = np.random.default_rng(0)
+    n_levels, block = 91, 91
+    healthy = rng.integers(0, n_levels, size=10 * block)
+    tail = np.zeros(block // 2 + 10, dtype=np.int64)  # stuck chains: rank 0
+    ranks = np.concatenate([healthy, tail])
+    fake = SimpleNamespace(insertion_rank=ranks)
+    diag = insertion_rank_test(fake, nsurv=n_levels - 1)
+    assert diag.p_value_blocks < 1e-6, diag.p_value_blocks
+    # and an entirely healthy sequence of the same ragged length passes
+    fake2 = SimpleNamespace(
+        insertion_rank=rng.integers(0, n_levels, size=ranks.size)
+    )
+    diag2 = insertion_rank_test(fake2, nsurv=n_levels - 1)
+    assert diag2.p_value_blocks > 0.01, diag2.p_value_blocks
+
+
 def test_reproducible_with_same_key():
     ll = gaussian_loglike(0.05, 2)
     cfg = NSConfig(ndim=2, nlive=100, max_samples=10000)
