@@ -46,23 +46,18 @@ _TB = 8
 _TP = 512
 
 
-def _tau_kernel(dz_ref, gain_ref, av_ref, idnu_ref, d0_ref, cw_ref, tau_ref,
-                *, harris=()):
-    """One (TB, TP) output tile; loops transitions, branching per tile.
-
-    ``harris``: per-transition static flags -- when set, the transition's
-    damping is bounded small by its prior and the 3-term Harris expansion
-    (ops.faddeeva.hjert_harris) replaces the 916/asymptotic pair with no
-    runtime branch at all."""
+def _accum_tau(dz_ref, gain_ref, av_ref, idnu_ref, d0_ref, cw, tb, tp,
+               harris):
+    """Shared tau accumulation over the transition loop for one (tb, tp)
+    tile (see ``_tau_kernel`` docstring for the branching scheme)."""
     T = dz_ref.shape[1]
-    cw = cw_ref[0, :]                     # (TP,)
-    acc = jnp.zeros((_TB, _TP), jnp.float32)
+    acc = jnp.zeros((tb, tp), jnp.float32)
     for t in range(T):
-        dz = dz_ref[:, t][:, None]        # (TB, 1)
+        dz = dz_ref[:, t][:, None]        # (tb, 1)
         gain = gain_ref[:, t][:, None]
         a = av_ref[:, t][:, None]
         idnu = idnu_ref[:, t][:, None]
-        u = (d0_ref[t, :][None, :] + dz * cw[None, :]) * idnu   # (TB, TP)
+        u = (d0_ref[t, :][None, :] + dz * cw[None, :]) * idnu   # (tb, tp)
         if harris and harris[t]:
             H = hjert_harris(u, a)
         else:
@@ -70,7 +65,7 @@ def _tau_kernel(dz_ref, gain_ref, av_ref, idnu_ref, d0_ref, cw_ref, tau_ref,
             any_near = jnp.min(r2) < 111.0
 
             def near_fn(u, a, r2):
-                # Clamp x only; a stays a (TB, 1) scalar column so erfcx and
+                # Clamp x only; a stays a (tb, 1) scalar column so erfcx and
                 # the series denominators evaluate per sample, not per pixel
                 # (see ops.faddeeva.hjert).
                 xs = jnp.where(r2 < 111.0, u, 0.0)
@@ -79,11 +74,25 @@ def _tau_kernel(dz_ref, gain_ref, av_ref, idnu_ref, d0_ref, cw_ref, tau_ref,
                 )
 
             def far_fn(u, a, r2):
-                return jnp.broadcast_to(wofz_real_asym(u, a), (_TB, _TP))
+                return jnp.broadcast_to(wofz_real_asym(u, a), (tb, tp))
 
             H = jax.lax.cond(any_near, near_fn, far_fn, u, a, r2)
         acc = acc + gain * H
-    tau_ref[:, :] = acc
+    return acc
+
+
+def _tau_kernel(dz_ref, gain_ref, av_ref, idnu_ref, d0_ref, cw_ref, tau_ref,
+                *, harris=()):
+    """One (TB, TP) output tile; loops transitions, branching per tile.
+
+    ``harris``: per-transition static flags -- when set, the transition's
+    damping is bounded small by its prior and the 3-term Harris expansion
+    (ops.faddeeva.hjert_harris) replaces the 916/asymptotic pair with no
+    runtime branch at all."""
+    cw = cw_ref[0, :]                     # (TP,)
+    tau_ref[:, :] = _accum_tau(
+        dz_ref, gain_ref, av_ref, idnu_ref, d0_ref, cw, _TB, _TP, harris
+    )
 
 
 def pallas_supported() -> bool:

@@ -100,12 +100,20 @@ def solver_nsconfig(
     nlive, num_repeats, precision = 100, 0, 1e-3
     max_samples, difficult = 20000, False
     num_delete = 0
+    max_clusters = 8  # PolyChord default do_clustering=True (cli.py:95)
+
+    def _as_bool(v, default):
+        if isinstance(v, bool):
+            return v
+        return str(v).strip().lower() in ("true", "1", "yes")
 
     if solver in ("polychord", "dypolychord"):
         s = configpars.get("pc_settings", {})
         nlive = int(s.get("nlive", 100))
         num_repeats = int(s.get("num_repeats", 20))
         precision = float(s.get("precision_criterion", 1e-3))
+        if not _as_bool(s.get("do_clustering", True), True):
+            max_clusters = 1
     elif solver == "multinest":
         s = configpars.get("mn_settings", {})
         nlive = int(s.get("nlive", 1000))
@@ -126,12 +134,8 @@ def solver_nsconfig(
     precision = float(s.get("precision_criterion", precision))
     max_samples = int(float(s.get("max_samples", max_samples)))
     difficult = bool(s.get("difficult_model", difficult))
-    dyn_raw = s.get("dynamic", solver == "dypolychord")
-    dynamic = (
-        dyn_raw
-        if isinstance(dyn_raw, bool)
-        else str(dyn_raw).strip().lower() in ("true", "1", "yes")
-    )
+    max_clusters = int(s.get("max_clusters", max_clusters))
+    dynamic = _as_bool(s.get("dynamic", solver == "dypolychord"), False)
 
     cfg = NSConfig(
         ndim=ndim,
@@ -141,6 +145,7 @@ def solver_nsconfig(
         precision_criterion=precision,
         max_samples=max_samples,
         difficult_model=difficult,
+        max_clusters=max_clusters,
     )
     resample_S = max_samples if solver == "jaxns" else 0  # 0 -> use n_dead
     return cfg, resample_S, dynamic
@@ -330,6 +335,20 @@ def run_fit(
     os.makedirs(configpars["chaindir"], exist_ok=True)
     base = chain_basename(configpars)
     write_stats(base + ".stats", float(logz), float(logzerr), stats_extra)
+
+    if debug and cfg.max_clusters > 1:
+        # Per-mode posterior readout (the MultiNest multimodal-summary
+        # role, reference cli.py:179-182): mass fraction + mean per mode.
+        from mcalf_tpu.sampler import posterior_cluster_report
+
+        rep = posterior_cluster_report(post, max_clusters=cfg.max_clusters)
+        if rep.k > 1:
+            print(f"[DEBUG]: posterior has {rep.k} modes:")
+            for i in range(rep.k):
+                print(
+                    f"[DEBUG]:   mode {i}: mass {rep.mass[i]:.3f}  "
+                    f"mean(u) {np.round(rep.mean_u[i], 3)}"
+                )
 
     if debug:
         # Sampler-diagnostics figure, the reference's jaxns --debug analogue

@@ -10,6 +10,11 @@ from mcalf_tpu.sampler.nested import (
     nested_sample,
     run_steps,
 )
+from mcalf_tpu.sampler.clusters import (
+    ClusterReport,
+    assign_clusters,
+    posterior_cluster_report,
+)
 from mcalf_tpu.sampler.diagnostics import RankDiagnostic, insertion_rank_test
 from mcalf_tpu.sampler.dynamic import (
     DynamicResults,
@@ -42,6 +47,9 @@ __all__ = [
     "nlive_of_logl",
     "RankDiagnostic",
     "insertion_rank_test",
+    "ClusterReport",
+    "assign_clusters",
+    "posterior_cluster_report",
     "DynamicResults",
     "dynamic_sample",
     "posterior_ess",

@@ -131,6 +131,7 @@ def _seed_boost_state(
         n_like=n_evals + jnp.int32(nlive),
         step=jnp.int32(0),
         dead_rank=jnp.full((cap,), -1, jnp.int32),
+        live_cluster=jnp.zeros((nlive,), jnp.int32),
     )
 
 

@@ -104,6 +104,20 @@ class NSConfig:
     #: between num_repeats=544 and 1088 (under-mixing across label modes);
     #: with it the evidence stabilizes at far lower repeat counts.
     canon_layout: Optional[tuple] = None
+    #: live-point mode clustering (PolyChord ``do_clustering`` role,
+    #: reference cli.py:95; MultiNest is multimodal by construction,
+    #: cli.py:179-182).  At every chunk boundary the host re-clusters the
+    #: live set (recursive 2-means, sampler/clusters.py) into at most this
+    #: many clusters; the slice-direction mixture then draws whitened
+    #: directions from a weighted mixture of PER-CLUSTER covariances and DE
+    #: pairs from within one cluster -- so on multimodal posteriors the
+    #: proposal geometry describes each mode instead of the cross-mode
+    #: smear.  The mixture is identical for every chain (independent of the
+    #: current point), so the slice kernel stays exactly valid.  1 disables
+    #: clustering (identical to the global-covariance kernel); the fully
+    #: traced :func:`nested_sample_device` path cannot host-recluster and
+    #: always runs as if 1.
+    max_clusters: int = 8
 
     def resolved(self) -> "NSConfig":
         """Fill defaulted fields.  Idempotent: an explicit ``num_repeats`` is
@@ -153,6 +167,10 @@ class NSState(NamedTuple):
     #: Aligned with the dead buffer by COUNT (B ranks recorded per step),
     #: not by identity; -1 marks unfilled slots.
     dead_rank: jax.Array
+    #: (nlive,) int32 cluster id of each live point in [0, max_clusters);
+    #: written by the host at chunk boundaries (see NSConfig.max_clusters),
+    #: all-zero means "one cluster" (the global-covariance kernel).
+    live_cluster: jax.Array
 
 
 class NSResults(NamedTuple):
@@ -230,6 +248,9 @@ def nested_sample(
     probe = 4
     chunk = chunk_steps
     while not is_done(state, cfg):
+        # Mode clustering rides the chunk boundary (host-side, cheap): the
+        # next chunk's direction mixture uses these assignments.
+        state = _recluster(state, cfg)
         if chunk <= 0:
             # Two probe chunks: the first pays the compile, the second is the
             # timing sample.  Round the derived size to a power of two so
@@ -305,7 +326,21 @@ def init_state(loglike_batch, key, config: NSConfig) -> NSState:
         n_like=jnp.int32(nlive),
         step=jnp.int32(0),
         dead_rank=jnp.full((cap,), -1, jnp.int32),
+        live_cluster=jnp.zeros((nlive,), jnp.int32),
     )
+
+
+def _recluster(state: NSState, cfg: NSConfig) -> NSState:
+    """Host-side live-set reclustering at a chunk boundary (no-op when
+    clustering is disabled)."""
+    if cfg.max_clusters <= 1:
+        return state
+    from mcalf_tpu.sampler.clusters import assign_clusters
+
+    labels, _ = assign_clusters(
+        np.asarray(state.live_u), max_clusters=cfg.max_clusters
+    )
+    return state._replace(live_cluster=jnp.asarray(labels, jnp.int32))
 
 
 def _remaining_logz(s: NSState, nlive: int):
@@ -388,11 +423,20 @@ def _canon_live(live_u, cfg):
 
 
 def slice_chains(
-    loglike_batch, key, u_start, logl_start, surv_u, surv_logl, lstar, cfg
+    loglike_batch, key, u_start, logl_start, surv_u, surv_logl, lstar, cfg,
+    *, surv_cluster=None
 ):
     """Evolve B slice-sampling chains for ``cfg.num_repeats`` passes under
     the hard constraint L > lstar, using the survivor set for whitening and
     differential-evolution directions.
+
+    ``surv_cluster`` (optional, (nsurv,) int32 in [0, cfg.max_clusters)):
+    live-point mode assignments.  When given (and max_clusters > 1) the
+    whitened directions come from a cluster-size-weighted MIXTURE of
+    per-cluster covariances and DE pairs are drawn within one cluster (with
+    a 25% cross-cluster fraction kept for mode-to-mode vectors).  The
+    mixture is the same for every chain and every point, so the slice
+    kernel stays exactly valid.  None = one cluster = the global kernel.
 
     Every start point must satisfy the constraint.  Returns
     (u_new, logl_new, key, n_evals).  This is the constrained-replacement
@@ -403,22 +447,48 @@ def slice_chains(
     B = u_start.shape[0]
     nsurv = surv_u.shape[0]
     f32 = jnp.float32
+    K = max(int(cfg.max_clusters), 1)
 
-    # Affine whitening from the survivor covariance (PolyChord-style).
+    # Affine whitening from survivor covariances (PolyChord-style), one
+    # Cholesky factor per cluster (the global one when K == 1 / no labels).
     centered = surv_u - jnp.mean(surv_u, axis=0)
-    cov = centered.T @ centered / (nsurv - 1)
-    cov = cov + 1e-10 * jnp.eye(ndim, dtype=f32)
-    chol = jnp.linalg.cholesky(cov)                   # (ndim, ndim)
+    cov_g = centered.T @ centered / (nsurv - 1)
+    eye = jnp.eye(ndim, dtype=f32)
+    if K == 1 or surv_cluster is None:
+        K = 1
+        chol_k = jnp.linalg.cholesky(cov_g + 1e-10 * eye)[None]  # (1,d,d)
+        logw_k = jnp.zeros((1,), f32)
+    else:
+        onehot = jax.nn.one_hot(surv_cluster, K, dtype=f32)      # (nsurv,K)
+        n_k = onehot.sum(axis=0)                                  # (K,)
+        mean_k = (onehot.T @ surv_u) / jnp.maximum(n_k, 1.0)[:, None]
+        cent_k = surv_u[None, :, :] - mean_k[:, None, :]          # (K,ns,d)
+        cov_k = jnp.einsum(
+            "kn,kni,knj->kij", onehot.T, cent_k, cent_k
+        ) / jnp.maximum(n_k - 1.0, 1.0)[:, None, None]
+        # Tiny/empty clusters fall back to the global covariance (their
+        # mixture weight is ~0 anyway; this keeps the Cholesky finite).
+        cov_k = jnp.where((n_k >= 2)[:, None, None], cov_k, cov_g[None])
+        chol_k = jnp.linalg.cholesky(cov_k + 1e-10 * eye[None])   # (K,d,d)
+        logw_k = jnp.where(n_k > 0, jnp.log(jnp.maximum(n_k, 1.0)), -jnp.inf)
 
     def slice_pass(carry, _):
         u_cur, logl_cur, key, n_like = carry
         key, kd, kj, km = jax.random.split(key, 4)
         # Unit direction in the whitened frame, mapped through L: |d| is
         # then ~ the live-point spread along that direction, so the
-        # shrink loop converges in O(1) iterations.
+        # shrink loop converges in O(1) iterations.  With clustering the
+        # frame is drawn per chain from the cluster-size-weighted mixture:
+        # each direction describes ONE mode's geometry instead of the
+        # cross-mode smear of the global covariance.
         n = jax.random.normal(kd, (B, ndim), f32)
         n = n / (jnp.linalg.norm(n, axis=1, keepdims=True) + 1e-12)
-        d_white = n @ chol.T
+        if K == 1:
+            d_white = n @ chol_k[0].T
+        else:
+            key, kc = jax.random.split(key)
+            cw = jax.random.categorical(kc, logw_k, shape=(B,))
+            d_white = jnp.einsum("bi,bji->bj", n, chol_k[cw])
         # Direction mixture.  With the cube-chord bracket only the
         # ANGULAR distribution matters (the bracket ignores |d|), and no
         # single family mixes every phase of a real absorption fit:
@@ -435,6 +505,19 @@ def slice_chains(
         # independent of the current point within a pass, so the
         # mixture is a valid slice kernel.
         w_white, w_de, w_axis = cfg.move_mix
+        jidx = jax.random.randint(kj, (2, B), 0, nsurv)
+        if K > 1:
+            # Within-cluster DE pairs (uniform member choice via the
+            # Gumbel-argmax trick over the cluster mask), keeping a 25%
+            # cross-cluster fraction for mode-to-mode difference vectors.
+            key, kcl, kg, kx = jax.random.split(key, 4)
+            c2 = jax.random.categorical(kcl, logw_k, shape=(B,))
+            member = surv_cluster[None, :] == c2[:, None]     # (B, nsurv)
+            g = jax.random.gumbel(kg, (2, B, nsurv), f32)
+            score = jnp.where(member[None], g, -jnp.inf)
+            jidx_local = jnp.argmax(score, axis=-1).astype(jnp.int32)
+            cross = jax.random.uniform(kx, (1, B), f32) < 0.25
+            jidx = jnp.where(cross, jidx, jidx_local)
         # Fourth family for component-structured models (canon_layout set):
         # TRIPLET-RESTRICTED differential evolution -- the survivor
         # difference masked to one random (N, z, b) triplet.  Sliding along
@@ -445,7 +528,6 @@ def slice_chains(
         w_trip = (w_white + w_de + w_axis) / 3.0 if cfg.canon_layout else 0.0
         tot = w_white + w_de + w_axis + w_trip
         r_mv = jax.random.uniform(km, (B, 1), f32) * tot
-        jidx = jax.random.randint(kj, (2, B), 0, nsurv)
         d_diff = surv_u[jidx[0]] - surv_u[jidx[1]]
         de_ok = jnp.linalg.norm(d_diff, axis=1, keepdims=True) > 1e-7
         key, ka = jax.random.split(key)
@@ -631,8 +713,10 @@ def run_steps(loglike_batch, state: NSState, config: NSConfig, num_steps: int) -
         u_cur = surv_u[start_idx]                         # (B, ndim)
         logl_cur = surv_logl[start_idx]
 
+        surv_cluster = s.live_cluster[surv]
         u_new, logl_new, key, n_evals = slice_chains(
-            loglike_batch, key, u_cur, logl_cur, surv_u, surv_logl, lstar, cfg
+            loglike_batch, key, u_cur, logl_cur, surv_u, surv_logl, lstar,
+            cfg, surv_cluster=surv_cluster,
         )
         n_like = s.n_like + n_evals
 
@@ -654,6 +738,9 @@ def run_steps(loglike_batch, state: NSState, config: NSConfig, num_steps: int) -
         live_u = _canon_live(s.live_u.at[worst].set(u_new), cfg)
         live_logl = s.live_logl.at[worst].set(logl_new)
         live_birth = s.live_birth.at[worst].set(lstar)
+        # A replacement inherits its start survivor's cluster (it rarely
+        # leaves it within one step); the host re-clusters every chunk.
+        live_cluster = s.live_cluster.at[worst].set(surv_cluster[start_idx])
 
         return NSState(
             key=key,
@@ -670,6 +757,7 @@ def run_steps(loglike_batch, state: NSState, config: NSConfig, num_steps: int) -
             n_like=n_like,
             step=s.step + 1,
             dead_rank=dead_rank,
+            live_cluster=live_cluster,
         )
 
     def body_wrap(carry):

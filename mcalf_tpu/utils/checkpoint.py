@@ -81,7 +81,7 @@ def load_state(
         # Fields added after a checkpoint was written are backfilled with
         # their init_state() defaults (so in-flight long fits survive
         # upgrades): dead_rank is purely diagnostic (-1 = unrecorded).
-        backfillable = {"dead_rank"}
+        backfillable = {"dead_rank", "live_cluster"}
         hard_missing = [f for f in missing if f not in backfillable]
         if hard_missing:
             raise ValueError(
@@ -105,6 +105,9 @@ def load_state(
         if "dead_rank" not in fields:
             cap = int(fields["dead_logl"].shape[0])
             fields["dead_rank"] = np.full((cap,), -1, np.int32)
+        if "live_cluster" not in fields:
+            nlive = int(fields["live_logl"].shape[0])
+            fields["live_cluster"] = np.zeros((nlive,), np.int32)
         return NSState(**fields)
 
 

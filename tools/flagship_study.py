@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Flagship evidence-convergence study (run on the real TPU).
+
+Re-measures the num_repeats ladder for the trans-dimensional 10-component
+CIV flagship fit with the PRODUCTION kernel configuration (canon_layout
+gauge fixing + triplet-DE move + uniformly-random chain starts), plus:
+
+* a num_delete=50 vs 100 quality comparison at fixed repeats,
+* fixed-k runs (ncomp locked to 8 / 9 / 10) whose evidences give the exact
+  decomposition Z_flagship = (Z8 + Z9 + Z10)/3 (uniform ncomp prior on
+  [8, 11], floor -> mass 1/3 each; k=11 has measure zero) -- an independent
+  truth cross-check for the trans-dimensional evidence.
+
+Each fit appends one JSON line to the output file as it finishes, so a
+killed run loses nothing.  Usage:
+
+    python tools/flagship_study.py [out.jsonl]
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+
+
+def make_model(ncomp):
+    from mcalf_tpu.models import AbsorptionModel
+
+    return AbsorptionModel.from_file(
+        os.path.join(os.path.dirname(HERE), "testdata",
+                     "civ_mock_spec_multicomp.txt"),
+        fitrange=[(6180.0, 6220.0)],
+        fitlines=["CIV 1548", "CIV 1550"],
+        ncomp=ncomp,
+        specres=[8.0],
+        Nrange=[12.0, 14.5],
+        brange=[10.0, 40.0],
+        zrange=[2.99, 3.01],
+    )
+
+
+def main(out_path):
+    import jax
+
+    from mcalf_tpu.models import make_jax_forward
+    from mcalf_tpu.sampler import NSConfig, insertion_rank_test, nested_sample
+
+    jobs = []
+    # (tag, ncomp, num_repeats, num_delete, seed)
+    for nr in (68, 136, 272, 544):
+        for seed in (43, 44):
+            jobs.append(("ladder", (8, 11), nr, 100, seed))
+    for seed in (43, 44):
+        jobs.append(("b50", (8, 11), 272, 50, seed))
+    for k in (8, 9, 10):
+        for seed in (43, 44):
+            jobs.append((f"fixed{k}", (k, k), 272, 100, seed))
+
+    models = {}
+    for tag, ncomp, nr, nd, seed in jobs:
+        if ncomp not in models:
+            m = make_model(ncomp)
+            models[ncomp] = (m, make_jax_forward(m))
+        model, fwd = models[ncomp]
+        cfg = NSConfig(
+            ndim=model.ndim,
+            nlive=200,
+            num_repeats=nr,
+            num_delete=nd,
+            max_samples=60000,
+            precision_criterion=1e-3,
+            canon_layout=model.canon_layout(),
+        )
+        t0 = time.perf_counter()
+        res = nested_sample(fwd.loglike_cube, jax.random.PRNGKey(seed), cfg)
+        jax.block_until_ready(res.logz)
+        dt = time.perf_counter() - t0
+        d = insertion_rank_test(res, cfg)
+        rec = {
+            "tag": tag,
+            "ncomp": list(ncomp),
+            "ndim": model.ndim,
+            "num_repeats": nr,
+            "num_delete": nd,
+            "seed": seed,
+            "logz": round(float(res.logz), 3),
+            "logzerr": round(float(res.logzerr), 3),
+            "h": round(float(res.h), 2),
+            "n_like": int(res.n_like),
+            "n_dead": int(res.n_dead),
+            "rank_p": round(d.p_value, 5),
+            "rank_p_blocks": round(d.p_value_blocks, 5),
+            "converged": int(res.termination_reason) == 0,
+            "wall_s": round(dt, 1),
+        }
+        with open(out_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/flagship_study.jsonl")
