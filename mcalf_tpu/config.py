@@ -121,6 +121,19 @@ def readconfig(configfile: str) -> Dict[str, Any]:
     device = get("run", "device", "default")
     seed = get("run", "seed", 43, int)
     checkpoint = get("run", "checkpoint", None)
+    # Fleet extensions (SURVEY.md section 2.3 "(spectrum x ncomp-candidate x
+    # seed) fits across chips"):
+    # * ``seeds = 43,44,45``: fit every seed (sharded over the mesh when it
+    #   divides the device count, else sequentially), merge by birth
+    #   contours, and write ONE merged .stats/chain plus per-member files.
+    # * ``ncomp_grid = True``: instead of one trans-dimensional fit over
+    #   [components] ncomp = lo,hi, run one FIXED-k fit per k in [lo, hi]
+    #   and write a Bayes-factor table (the reference workflow's model
+    #   selection, cli.py:367-383, done as an explicit grid).
+    seeds = get(
+        "run", "seeds", None, lambda v: [int(x) for x in v.split(",")]
+    )
+    ncomp_grid = get("run", "ncomp_grid", False, lambda v: _BOOL[v])
 
     run_params: Dict[str, Any] = {
         "specfile": datadir + cp.get("input", "specfile"),
@@ -152,6 +165,8 @@ def readconfig(configfile: str) -> Dict[str, Any]:
         "device": device,
         "seed": seed,
         "checkpoint": checkpoint,
+        "seeds": seeds,
+        "ncomp_grid": ncomp_grid,
     }
 
     for section in ("mn_settings", "pc_settings", "jaxns_settings", "ns_settings"):

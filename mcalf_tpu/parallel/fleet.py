@@ -94,9 +94,14 @@ def fit_stacked(
     seed: int = 43,
     mesh: Optional[Mesh] = None,
     chunk_steps: Optional[int] = None,
+    keys=None,
 ) -> NSResults:
     """Run one independent nested-sampling fit per stacked problem, sharded
     over the mesh.  Returns NSResults with a leading problem axis.
+
+    ``keys``: optional (nprob, 2) PRNG keys, one per problem (e.g. a
+    user-specified seed list for a seed ensemble); default derives them by
+    splitting ``seed``.
 
     The number of problems must be a multiple of the mesh size (pad with
     repeated problems if needed).
@@ -117,7 +122,9 @@ def fit_stacked(
 
     data, tables = _split_static(stacked)
     cfg = config.resolved()
-    keys = jax.random.split(jax.random.PRNGKey(seed), nprob)
+    if keys is None:
+        keys = jax.random.split(jax.random.PRNGKey(seed), nprob)
+    keys = jnp.asarray(keys)
     data_specs = jax.tree.map(lambda _: P(axis), data)
 
     def _ll(local_consts):

@@ -168,6 +168,9 @@ def run_fit(
     Returns (NSResults, chain basename)."""
     import jax
 
+    if configpars.get("ncomp_grid"):
+        return _run_ncomp_grid(configpars, debug=debug)
+
     device = str(configpars.get("device", "default")).lower()
     if device == "cpu":
         # Force the fit onto CPU in-process (reference cli.py:215-216).  Must
@@ -200,6 +203,17 @@ def run_fit(
             f"max_samples={cfg.max_samples}, "
             f"precision={cfg.precision_criterion}, ndim={model.ndim}, "
             f"dynamic={dynamic}"
+        )
+
+    seeds_list = configpars.get("seeds")
+    if seeds_list:
+        if dynamic:
+            raise ValueError(
+                "[run] seeds (seed-ensemble) and dynamic sampling cannot be "
+                "combined; drop one of the two."
+            )
+        return _run_seed_ensemble(
+            configpars, model, fwd, cfg, seeds_list, resample_S, debug=debug
         )
 
     seed = int(configpars.get("seed", 43))
@@ -371,3 +385,169 @@ def run_fit(
     write_equal_weights(base + "_equal_weights.txt", matrix)
     print(f"Saved results to {base}_equal_weights.txt")
     return res, base
+
+
+def _write_chain_files(base, fwd, post, resample_S, extra_lines=()):
+    """Write one `.stats` + `_equal_weights.txt` pair for any posterior
+    carrier (NSResults or MergedRun)."""
+    logz = float(np.asarray(post.logz))
+    logzerr = float(np.asarray(post.logzerr))
+    write_stats(base + ".stats", logz, logzerr, extra_lines)
+    S = resample_S if resample_S > 0 else int(
+        np.isfinite(np.asarray(post.log_posterior_weights)).sum()
+    )
+    import jax
+
+    su, logl = resample_equal(jax.random.PRNGKey(42), post, S)
+    params = np.asarray(fwd.cube_to_params(su), np.float64)
+    write_equal_weights(
+        base + "_equal_weights.txt",
+        equal_weights_matrix(params, np.asarray(logl)),
+    )
+
+
+def _run_seed_ensemble(
+    configpars, model, fwd, cfg, seeds, resample_S, debug=False
+):
+    """Seed-ensemble fleet fit through the config surface (``[run] seeds``).
+
+    The same problem is fit once per seed -- sharded over the device mesh
+    when the seed count divides the device count (parallel.fit_stacked),
+    else sequentially with the chunked sampler -- then the members are
+    birth-contour merged (sampler/merge.py) into ONE evidence with a
+    sqrt(K)-smaller, simulated-weights error bar.  Per-member chain files
+    get a ``_s<seed>`` suffix on the ``chainfmt.format(nfill)`` base
+    (reference naming, cli.py:86,129); the merged posterior lands under the
+    base name so the analysis/plot phase works unchanged.  This is SURVEY
+    section 2.3's "(spectrum x seed) fits across chips" as a user surface.
+    """
+    import jax
+
+    from mcalf_tpu.sampler import (
+        insertion_rank_test,
+        merge_results,
+        nested_sample,
+    )
+
+    t0 = datetime.datetime.now()
+    ndev = len(jax.devices())
+    use_mesh = ndev > 1 and len(seeds) % ndev == 0
+    with phase_timer("nested_sampling"):
+        if use_mesh:
+            import jax.numpy as jnp
+
+            from mcalf_tpu.models.batched import stack_problems
+            from mcalf_tpu.parallel.fleet import fit_stacked
+
+            if debug:
+                print(
+                    f"[DEBUG]: sharding {len(seeds)} seeds over {ndev} devices"
+                )
+            spec, stacked = stack_problems([model] * len(seeds))
+            keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
+            batched = fit_stacked(spec, stacked, cfg, keys=keys)
+            jax.block_until_ready(batched.logz)
+            runs = [
+                jax.tree.map(lambda a, i=i: a[i], batched)
+                for i in range(len(seeds))
+            ]
+        else:
+            runs = []
+            for s in seeds:
+                res = nested_sample(
+                    fwd.loglike_cube, jax.random.PRNGKey(int(s)), cfg
+                )
+                jax.block_until_ready(res.logz)
+                if debug:
+                    print(f"[DEBUG]: seed {s}: logZ = {float(res.logz):.3f}")
+                runs.append(res)
+    print("Execution time {}".format(datetime.datetime.now() - t0))
+
+    merged = merge_results(runs)
+    os.makedirs(configpars["chaindir"], exist_ok=True)
+    base = chain_basename(configpars)
+    stats_extra = []
+    unconv = False
+    for s, r in zip(seeds, runs):
+        diag = insertion_rank_test(r, cfg)
+        line = (
+            f"seed {s}: logZ = {float(r.logz):.3f} +/- "
+            f"{float(r.logzerr):.3f}; insertion-rank KS p = {diag.p_value:.4f}"
+        )
+        if diag.p_value < 0.01:
+            print(
+                f"WARNING: seed {s} insertion-rank test FAILED "
+                f"(p = {diag.p_value:.4f} < 0.01); raise num_repeats."
+            )
+            line += "  ** FAILED (p < 0.01) **"
+        stats_extra.append(line)
+        unconv |= int(r.termination_reason) != 0
+        _write_chain_files(f"{base}_s{s}", fwd, r, resample_S)
+    if unconv:
+        print(
+            "WARNING: at least one ensemble member hit max_samples before "
+            "converging; consider raising max_samples."
+        )
+    spread = max(float(r.logz) for r in runs) - min(
+        float(r.logz) for r in runs
+    )
+    stats_extra.append(
+        f"merged {len(seeds)} seeds {list(seeds)} by birth contours; "
+        f"seed spread = {spread:.3f}"
+    )
+    _write_chain_files(base, fwd, merged, resample_S, stats_extra)
+    print(f"Saved merged ensemble results to {base}_equal_weights.txt")
+    return merged, base
+
+
+def _run_ncomp_grid(configpars, debug=False):
+    """Fixed-k model grid through the config surface (``[run] ncomp_grid``).
+
+    One fixed-ncomp fit per k in the configured [components] ncomp range
+    (each through the full run_fit flow under a ``_k<k>`` chain suffix),
+    then a Bayes-factor table: per-k logZ, Delta logZ vs the best k, and
+    the uniform-prior trans-dimensional evidence logsumexp(logZ_k) - log K.
+    The best-k chain files are copied to the base name so the analysis /
+    plot phase picks the selected model (the reference workflow's
+    evidence-based ncomp selection, cli.py:367-383, as one command)."""
+    import shutil
+
+    lo, hi = int(configpars["ncomp"][0]), int(configpars["ncomp"][1])
+    ks = list(range(lo, hi + 1))
+    base = chain_basename(configpars)
+    rows = []
+    for k in ks:
+        sub = dict(
+            configpars,
+            ncomp=np.array([k, k]),
+            ncomp_grid=False,
+            chainfmt=configpars["chainfmt"] + f"_k{k}",
+        )
+        print(f"--- ncomp grid: fitting fixed k = {k} ---")
+        res, kbase = run_fit(sub, debug=debug)
+        rows.append(
+            (k, float(np.asarray(res.logz)), float(np.asarray(res.logzerr)),
+             kbase)
+        )
+
+    logzs = np.array([r[1] for r in rows])
+    best = int(np.argmax(logzs))
+    m = logzs.max()
+    logz_trans = m + np.log(np.exp(logzs - m).sum()) - np.log(len(ks))
+    os.makedirs(configpars["chaindir"], exist_ok=True)
+    table = base + "_ncomp_grid.txt"
+    with open(table, "w") as f:
+        f.write("# k  logZ  logZerr  dlogZ_vs_best\n")
+        for k, lz, le, _ in rows:
+            f.write(f"{k}  {lz:.4f}  {le:.4f}  {lz - logzs[best]:+.4f}\n")
+        f.write(
+            f"# best k = {rows[best][0]}; trans-dimensional evidence "
+            f"(uniform k prior) = {logz_trans:.4f}\n"
+        )
+    print(f"ncomp grid: best k = {rows[best][0]} "
+          f"(logZ = {logzs[best]:.3f}); table in {table}")
+    for suffix in (".stats", "_equal_weights.txt"):
+        src = rows[best][3] + suffix
+        if os.path.exists(src):
+            shutil.copyfile(src, base + suffix)
+    return rows[best][0], base

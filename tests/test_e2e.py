@@ -234,6 +234,162 @@ max_samples = 4000
     assert np.isfinite(lnz) and err > 0
 
 
+def test_seed_ensemble_through_cli(tmp_path, testdata_dir):
+    # [run] seeds drives a 4-seed fleet fit: per-member chain files with the
+    # _s<seed> suffix plus ONE merged .stats/_equal_weights under the base
+    # name (SURVEY 2.3's seed fleet as a user surface).
+    cfg = tmp_path / "fit.cfg"
+    cfg.write_text(
+        f"""
+[input]
+specfile = civ_mock_spec.txt
+wavefit = 6180,6220
+linelist = CIV 1548, CIV 1550
+coldef = Wave, Flux, Err
+solver = polychord
+specres = 8.0
+
+[pathing]
+datadir = {testdata_dir}/
+outdir = {tmp_path}/
+chainfmt = ens_{{0}}
+
+[components]
+ncomp = 1,1
+contval  = 1
+Nrange = 12.0,14.5
+brange = 10.0, 40.0
+zrange = 2.99, 3.01
+
+[run]
+dofit = True
+doplot = True
+seeds = 43,44,45,46
+
+[ns_settings]
+nlive = 60
+max_samples = 2500
+precision_criterion = 0.01
+"""
+    )
+    rc = main([str(cfg)])
+    assert rc == 0
+    fits = tmp_path / "fits"
+    for s in (43, 44, 45, 46):
+        assert os.path.exists(fits / f"ens_0_s{s}.stats")
+        assert os.path.exists(fits / f"ens_0_s{s}_equal_weights.txt")
+    stats = (fits / "ens_0.stats").read_text()
+    assert "merged 4 seeds" in stats
+    lnz, err = read_stats(str(fits / "ens_0.stats"))
+    # quadrature truth for the repo mock: 4985.51; 4-seed merge is tight
+    assert abs(lnz - 4985.51) < 2.0, lnz
+    assert 0 < err < 1.0
+    # merged posterior feeds the standard analysis phase
+    _, _, _, post = analyze_chains(str(fits / "ens_0"))
+    assert abs(np.nanmedian(post[:, 1]) - 13.8) < 0.06
+    # plots ran off the merged chains
+    assert os.path.exists(tmp_path / "plots" / "ens_0.pdf")
+
+
+def test_seed_ensemble_sharded_over_mesh(tmp_path, testdata_dir, capsys):
+    # 8 seeds on the 8-device virtual mesh: the ensemble shards one fit per
+    # device (parallel.fit_stacked with explicit per-seed keys) instead of
+    # looping.  Output contract identical to the sequential path.
+    cfg = tmp_path / "fit.cfg"
+    cfg.write_text(
+        f"""
+[input]
+specfile = civ_mock_spec.txt
+wavefit = 6180,6220
+linelist = CIV 1548, CIV 1550
+coldef = Wave, Flux, Err
+solver = polychord
+specres = 8.0
+
+[pathing]
+datadir = {testdata_dir}/
+outdir = {tmp_path}/
+chainfmt = mesh_{{0}}
+
+[components]
+ncomp = 1,1
+contval  = 1
+Nrange = 12.0,14.5
+brange = 10.0, 40.0
+zrange = 2.99, 3.01
+
+[run]
+dofit = True
+doplot = False
+seeds = 50,51,52,53,54,55,56,57
+
+[ns_settings]
+nlive = 50
+max_samples = 2000
+precision_criterion = 0.01
+"""
+    )
+    rc = main([str(cfg), "--debug"])
+    assert rc == 0
+    captured = capsys.readouterr()
+    assert "sharding 8 seeds over 8 devices" in captured.out
+    fits = tmp_path / "fits"
+    assert os.path.exists(fits / "mesh_0_s57.stats")
+    lnz, err = read_stats(str(fits / "mesh_0.stats"))
+    assert abs(lnz - 4985.51) < 2.5, lnz
+
+
+def test_ncomp_grid_through_cli(tmp_path, testdata_dir):
+    # [run] ncomp_grid fits each fixed k in the ncomp range and writes the
+    # Bayes-factor table; the best-k chains land under the base name
+    # (reference evidence-based ncomp selection, cli.py:367-383).
+    cfg = tmp_path / "fit.cfg"
+    cfg.write_text(
+        f"""
+[input]
+specfile = civ_mock_spec.txt
+wavefit = 6180,6220
+linelist = CIV 1548, CIV 1550
+coldef = Wave, Flux, Err
+solver = polychord
+specres = 8.0
+
+[pathing]
+datadir = {testdata_dir}/
+outdir = {tmp_path}/
+chainfmt = grid_{{0}}
+
+[components]
+ncomp = 1,2
+contval  = 1
+Nrange = 12.0,14.5
+brange = 10.0, 40.0
+zrange = 2.99, 3.01
+
+[run]
+dofit = True
+doplot = False
+ncomp_grid = True
+
+[ns_settings]
+nlive = 60
+max_samples = 2500
+precision_criterion = 0.01
+"""
+    )
+    rc = main([str(cfg)])
+    assert rc == 0
+    fits = tmp_path / "fits"
+    table = (fits / "grid_0_ncomp_grid.txt").read_text()
+    assert "best k = 1" in table, table  # the mock is a single component
+    for k in (1, 2):
+        assert os.path.exists(fits / f"grid_0_k{k}.stats")
+    # best-k chains copied to the base name
+    lnz, err = read_stats(str(fits / "grid_0.stats"))
+    lnz1, _ = read_stats(str(fits / "grid_0_k1.stats"))
+    assert lnz == lnz1
+
+
 def test_refit_with_dofit_false_reuses_chains(e2e_outputs, testdata_dir, capsys):
     # doplot-only invocation must work from the chain files alone
     # (fit and analysis communicate only via disk, SURVEY.md 5.4).
