@@ -68,8 +68,13 @@ class NSConfig:
 
     ndim: int
     nlive: int = 200
-    #: live points deleted + replaced per outer step (TPU batch width)
-    num_delete: int = 0  # 0 -> nlive // 4
+    #: live points deleted + replaced per outer step (TPU batch width).
+    #: Default nlive // 2: the round-3 flagship study (tools/
+    #: flagship_study.py) measured B=100 ~1.4x faster end-to-end than the
+    #: old nlive // 4 = 50 at nlive=200 with IDENTICAL evidence quality
+    #: (b50 vs ladder rows in the study JSONL) -- wider deletion blocks
+    #: amortize the per-step whitening/argsort and keep the VPU batch full.
+    num_delete: int = 0  # 0 -> nlive // 2
     #: slice-sampling passes per replacement (decorrelation length)
     num_repeats: int = 0  # 0 -> 2 * ndim (8 * ndim under difficult_model)
     #: stop when Z_live / Z < precision_criterion
@@ -123,7 +128,7 @@ class NSConfig:
         """Fill defaulted fields.  Idempotent: an explicit ``num_repeats`` is
         used as-is (``difficult_model`` only doubles the *default*), so
         resolving a resolved config is a no-op."""
-        nd = self.num_delete if self.num_delete > 0 else max(1, self.nlive // 4)
+        nd = self.num_delete if self.num_delete > 0 else max(1, self.nlive // 2)
         nd = min(nd, self.nlive - 1)
         if self.num_repeats > 0:
             nr = self.num_repeats
