@@ -29,8 +29,8 @@ Printed JSON:
 * extra          -- merged/per-seed logZ + rank health, eval counts,
                     throughputs, a MEASURED VPU-roofline utilization, the
                     fused-Pallas vs XLA head-to-head at the production
-                    batch, a num_delete batch-width study, and a stacked
-                    4-problem-per-chip occupancy measurement.
+                    batch, a num_delete batch-width study, and an
+                    interleaved 4-problem-vmapped occupancy measurement.
 """
 
 import json
@@ -93,18 +93,24 @@ def _interleaved_best(measures, reps=3):
 
 def _measure_vpu_roofline():
     """Measured attainable f32 VPU FMA rate on THIS chip (the roofline
-    denominator for utilization): a dependency-free elementwise multiply-add
-    chain over a VMEM-resident block, best of 3."""
+    denominator for utilization).  The loop body chains 32 dependent FMAs
+    per element before the carried value round-trips, so arithmetic
+    intensity is 64 FLOP/byte and the measurement is compute-bound (a
+    single FMA per pass would measure HBM bandwidth instead -- that bug
+    made the round-3 draft report a 0.067 TFLOP/s 'roofline').  Best of 3."""
     import jax
     import jax.numpy as jnp
 
-    x = jnp.ones((1024, 2048), jnp.float32)
-    iters = 400
+    x = jnp.ones((512, 1024), jnp.float32)
+    iters = 500
+    chain = 32
 
     @jax.jit
     def loop(x):
         def body(i, acc):
-            return acc * 1.0000001 + 1e-7
+            for _ in range(chain):
+                acc = acc * 1.0000001 + 1e-7
+            return acc
 
         return jax.lax.fori_loop(0, iters, body, x)
 
@@ -114,7 +120,7 @@ def _measure_vpu_roofline():
         t0 = time.perf_counter()
         jax.block_until_ready(loop(x))
         dt = time.perf_counter() - t0
-        best = max(best, 2.0 * iters * x.size / dt)
+        best = max(best, 2.0 * chain * iters * x.size / dt)
     return best  # FLOP/s
 
 
@@ -212,12 +218,15 @@ def main():
     )
 
     # ---- fused-Pallas likelihood head-to-head at the production batch ----
+    # (the production `fwd` auto-selects the fused kernel on TPU; compare
+    # against the explicit XLA path)
+    fwd_xla = make_jax_forward(model, use_pallas=False)
     fwd_pal = make_jax_forward(model, use_pallas=True)
-    pallas_ratio = {}
+    pallas_ratio = {"production_default": fwd.static.use_pallas}
     for tag, batch in (("B100", pprod), ("B200", p200)):
         xla_eps, pal_eps = _interleaved_best(
             [
-                _make_sustained(fwd.loglike, batch),
+                _make_sustained(fwd_xla.loglike, batch),
                 _make_sustained(fwd_pal.loglike, batch),
             ]
         )
@@ -242,50 +251,44 @@ def main():
         ndel_study[str(ndel)] = round((int(st.n_like) - n0) / dt / 1e3)
         # kevals/s at this deletion-batch width
 
-    # ---- stacked occupancy: 4 flagship problems on ONE chip --------------
-    # Does stacking more independent problems per chip raise aggregate
-    # sampler throughput (i.e. is the batch dimension under-filled at one
-    # problem per chip)?  Bounded measurement: timed run_steps chunks via
-    # the fleet machinery (lax.map over 4 stacked copies).
-    import jax.numpy as jnp
+    # ---- occupancy: K vmapped flagship problems on ONE chip --------------
+    # Is the chip under-filled at one problem per chip?  Measured honestly:
+    # aggregate sampler step throughput at K = 1 vs 4 problems VECTORIZED
+    # (jax.vmap over NSState -- the likelihood batch becomes (K, B, ndim)),
+    # INTERLEAVED in one process so the relay's large throughput drift
+    # (measured up to 5x between sessions) cannot masquerade as an
+    # occupancy gain (it did exactly that in the round-3 draft: a 'stacked4
+    # gain' of 7.4x that an interleaved re-measurement showed to be ~1.0 --
+    # one flagship problem already saturates the chip).
+    ck = dataclasses.replace(cfg, num_repeats=64, max_samples=4000).resolved()
 
-    from mcalf_tpu.models.batched import stack_problems
-    from mcalf_tpu.models.jax_model import loglike_cube_core
-    from mcalf_tpu.parallel.fleet import _split_static
-
-    c4 = dataclasses.replace(cfg, num_repeats=64, max_samples=4000).resolved()
-    spec4, stacked4 = stack_problems([model] * 4)
-    data4, tables4 = _split_static(stacked4)
-
-    def _ll4(local):
-        consts = dict(local, **tables4)
-        return lambda u: loglike_cube_core(u, c=consts, s=spec4)
-
-    keys4 = jax.random.split(jax.random.PRNGKey(0), 4)
-    init4 = jax.jit(
-        lambda d, k: jax.lax.map(
-            lambda a: init_state(_ll4(a[0]), a[1], c4), (d, k)
+    def _make_vmeasure(K):
+        keys = jax.random.split(jax.random.PRNGKey(0), K)
+        st = jax.jit(
+            jax.vmap(lambda k: init_state(fwd.loglike_cube, k, ck))
+        )(keys)
+        step = jax.jit(
+            jax.vmap(lambda s: run_steps(fwd.loglike_cube, s, ck, 6))
         )
+        st = step(st)  # compile + warm
+        jax.block_until_ready(st.logz)
+        holder = {"st": st}
+
+        def measure():
+            s0 = holder["st"]
+            n0 = int(np.sum(np.asarray(s0.n_like)))
+            t0 = time.perf_counter()
+            s1 = step(s0)
+            jax.block_until_ready(s1.logz)
+            dt = time.perf_counter() - t0
+            holder["st"] = s1
+            return (int(np.sum(np.asarray(s1.n_like))) - n0) / dt
+        return measure
+
+    k1_eps, k4_eps = _interleaved_best(
+        [_make_vmeasure(1), _make_vmeasure(4)]
     )
-    step4 = jax.jit(
-        lambda d, st: jax.lax.map(
-            lambda a: run_steps(_ll4(a[0]), a[1], c4, 4), (d, st)
-        )
-    )
-    st4 = init4(data4, keys4)
-    st4 = step4(data4, st4)  # compile + warm
-    jax.block_until_ready(st4.logz)
-    n0 = int(np.sum(np.asarray(st4.n_like)))
-    t0 = time.perf_counter()
-    for _ in range(2):
-        st4 = step4(data4, st4)
-    jax.block_until_ready(st4.logz)
-    stacked4_keps = (int(np.sum(np.asarray(st4.n_like))) - n0) / (
-        time.perf_counter() - t0
-    ) / 1e3
-    occupancy_gain = round(
-        stacked4_keps / max(ndel_study["100"], 1e-9), 2
-    )
+    occupancy_gain = round(k4_eps / k1_eps, 2)
 
     # ---- measured utilization -------------------------------------------
     ntrans = int(model.transition_table()["pidx"].size)
@@ -326,8 +329,9 @@ def main():
                     ),
                     "pallas_fused_vs_xla": pallas_ratio,
                     "num_delete_kevals_per_s": ndel_study,
-                    "stacked4_kevals_per_s": round(stacked4_keps),
-                    "stacked4_occupancy_gain": occupancy_gain,
+                    "vmap4_kevals_per_s": round(k4_eps / 1e3),
+                    "vmap1_kevals_per_s": round(k1_eps / 1e3),
+                    "occupancy_gain_4x": occupancy_gain,
                     "vs_baseline_definition": (
                         "same-chip sustained-throughput ratio of our "
                         "deletion-batched evaluation vs the reference's "

@@ -119,6 +119,11 @@ def build_consts(
         model.valid, 1.0 / np.where(model.valid, model.obj_noise, 1.0) ** 2, 0.0
     ).astype(np.float32)
     c["noise"] = np.where(model.valid, model.obj_noise, np.inf).astype(np.float32)
+    # 1/noise with invalid pixels zeroed: multiplying residuals by this
+    # excludes them from the asymmlike outlier counts (fused-kernel path).
+    c["inv_noise"] = np.where(
+        model.valid, 1.0 / np.where(model.valid, model.obj_noise, 1.0), 0.0
+    ).astype(np.float32)
 
     # Per-transition tables (layout indices are static, see StaticSpec).
     c["pidx"] = tab["pidx"]                                                 # (T,)
@@ -275,8 +280,80 @@ def chi2_core(p, c, s: StaticSpec):
     return jnp.sum(c["ivar"] * r * r, axis=-1)
 
 
+def _loglike_pallas(p, c, s: StaticSpec, dz=None):
+    """Whole-likelihood fused Pallas path: tau -> exp -> LSF conv -> chi^2
+    (+ asymmlike counts) in ONE kernel with no (B, P) HBM intermediates
+    (ops.voigt_pallas.likelihood_pallas); only the Gaussian-prior term (a
+    (B, ndim) elementwise sum) stays in XLA.  Numerically equivalent to the
+    XLA path to f32 roundoff (tests/test_voigt_pallas.py)."""
+    from mcalf_tpu.ops.voigt_pallas import likelihood_pallas
+
+    specres, cont = _head(p, c, s)
+    nact = jnp.floor(p[..., s.startind])
+    pidx = c["pidx"]
+    N = p[..., pidx]
+    b = p[..., pidx + 2]
+    if dz is None:
+        dz = p[..., pidx + 1] - c["zmid"]
+    dnu = b * 1e5 * c["inv_wrest_cm"]
+    avoigt = c["gamma"] / (4.0 * jnp.pi * dnu)
+    amp = TAU_CONST * jnp.power(10.0, N) * c["f"] / dnu
+    active = ((c["comp_id"] < nact[..., None]) | c["is_fill"]).astype(
+        jnp.float32
+    )
+
+    batch = p.shape[:-1]
+    T = int(pidx.shape[0])
+    gain = (active * amp).reshape((-1, T))
+    B = gain.shape[0]
+    if s.half > 0:
+        sigma_pix = (specres / FWHM_TO_SIGMA) / c["velstep"]
+        kern = gaussian_kernel(jnp.asarray(sigma_pix, jnp.float32), s.half)
+        kern = jnp.broadcast_to(kern, batch + kern.shape[-1:]).reshape(
+            (B, 2 * s.half + 1)
+        )
+    else:
+        kern = jnp.ones((B, 1), jnp.float32)
+    cont_b = jnp.broadcast_to(jnp.asarray(cont, jnp.float32), batch).reshape(
+        (B,)
+    )
+
+    chi2, n4, n5 = likelihood_pallas(
+        dz.reshape((-1, T)),
+        gain,
+        avoigt.reshape((-1, T)),
+        dnu.reshape((-1, T)),
+        c["d0"],
+        c["c_over_wave"],
+        c["data"],
+        c["ivar"],
+        c["inv_noise"],
+        kern,
+        cont_b,
+        interpret=s.pallas_interpret,
+        harris=s.harris,
+        half=s.half,
+        asymm=s.asymmlike,
+    )
+    chi2 = chi2.reshape(batch)
+    ll = -0.5 * (chi2 + c["const_term"])
+    if s.asymmlike:
+        n4 = n4.reshape(batch)
+        n5 = n5.reshape(batch)
+        bad = (n5 > c["cdf5"] + c["grace"]) | (n4 > c["cdf4"] + c["grace"])
+        ll = jnp.where(bad, -jnp.inf, ll)
+    if s.has_gpriors:
+        d = p - c["gp_mu"]
+        ll = ll - 0.5 * (
+            jnp.sum(d * d * c["gp_isig2"], axis=-1) + c["gp_norm"]
+        )
+    return ll
+
+
 def loglike_core(p, c, s: StaticSpec, dz=None):
     p = jnp.asarray(p, jnp.float32)
+    if s.use_pallas and s.conv_mode == "same_edge":
+        return _loglike_pallas(p, c, s, dz=dz)
     m = reconstruct_core(p, c, s, dz=dz)
     r = c["data"] - m
     c2 = jnp.sum(c["ivar"] * r * r, axis=-1)
@@ -331,6 +408,36 @@ class JaxForward:
     bounds_hi: Any
 
 
+def resolve_use_pallas(
+    model: AbsorptionModel, use_pallas: "str | bool" = "auto"
+) -> "tuple[bool, bool]":
+    """Resolve the ``use_pallas`` policy for one problem -> (enabled,
+    interpret).  'auto' enables the fused kernel ON TPU when the (T, Pp)
+    D0 table fits comfortably in VMEM (it must stay resident per grid
+    step) and disables it elsewhere; the MCALF_TPU_PALLAS env var
+    overrides either way; True forces it (interpret mode off-TPU, for
+    tests)."""
+    import os
+
+    if use_pallas == "auto":
+        env = os.environ.get("MCALF_TPU_PALLAS", "")
+        if env != "":
+            use_pallas = env not in ("0", "false")
+        else:
+            from mcalf_tpu.ops.voigt_pallas import pallas_supported
+
+            half = model.kernel_half_size()
+            Pp = -(-(model.npix + max(half, 1)) // 128) * 128
+            ntrans = int(model.transition_table()["pidx"].size)
+            use_pallas = pallas_supported() and ntrans * Pp * 4 <= (8 << 20)
+    interpret = False
+    if use_pallas:
+        from mcalf_tpu.ops.voigt_pallas import pallas_supported
+
+        interpret = not pallas_supported()
+    return bool(use_pallas), interpret
+
+
 def make_jax_forward(
     model: AbsorptionModel,
     conv_mode: str = "same_edge",
@@ -343,19 +450,16 @@ def make_jax_forward(
     convolution semantics (parity target for fits); ``'wrap'`` reproduces the
     numpy/plot/mock path on device.
 
-    ``use_pallas``: route tau synthesis through the Pallas TPU kernel
-    (ops/voigt_pallas.py).  'auto' enables it iff the MCALF_TPU_PALLAS env
-    var is set truthy; True forces it (interpret mode off-TPU, for tests).
+    ``use_pallas``: route the likelihood through the fused Pallas TPU
+    kernel (ops/voigt_pallas.likelihood_pallas: tau -> exp -> LSF conv ->
+    chi^2 in ONE kernel) and tau synthesis through voigt_tau_pallas.
+    'auto' (default) enables it ON TPU when the per-tile constant tables
+    fit VMEM -- measured +5-11% over the XLA path at production batches
+    (BENCH_r03 pallas_fused_vs_xla) -- and disables it elsewhere
+    (interpret mode is for tests only).  MCALF_TPU_PALLAS=0/1 overrides;
+    True forces it (interpret mode off-TPU, for tests).
     """
-    import os
-
-    if use_pallas == "auto":
-        use_pallas = os.environ.get("MCALF_TPU_PALLAS", "") not in ("", "0")
-    interpret = False
-    if use_pallas:
-        from mcalf_tpu.ops.voigt_pallas import pallas_supported
-
-        interpret = not pallas_supported()
+    use_pallas, interpret = resolve_use_pallas(model, use_pallas)
     s = static_spec(
         model,
         conv_mode=conv_mode,

@@ -95,6 +95,132 @@ def _tau_kernel(dz_ref, gain_ref, av_ref, idnu_ref, d0_ref, cw_ref, tau_ref,
     )
 
 
+def _ll_kernel(
+    dz_ref, gain_ref, av_ref, idnu_ref, d0_ref, cw_ref, data_ref, ivar_ref,
+    innoise_ref, kern_ref, cont_ref, chi2_ref, n4_ref, n5_ref,
+    *, harris, half, P, Pp, asymm,
+):
+    """Fully fused likelihood for one block of _TB samples: tau synthesis ->
+    exp(-tau) -> (2*half+1)-tap LSF convolution -> chi^2 partial reduction
+    (+ the asymmetric-likelihood outlier counts), all in VMEM with no HBM
+    intermediate.  The whole (padded) spectrum is one tile, so the
+    convolution is ``2*half+1`` static lane-rotations and the reduction
+    never leaves the kernel."""
+    cw = cw_ref[0, :]                                       # (Pp,)
+    tau = _accum_tau(
+        dz_ref, gain_ref, av_ref, idnu_ref, d0_ref, cw, _TB, Pp, harris
+    )
+    flux = jnp.exp(-tau)                                    # (_TB, Pp)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_TB, Pp), 1)
+    inb = lane < P
+    if half > 0:
+        # Zero-padded 'same' convolution via lane rotations: lanes >= P are
+        # zeroed, and Pp >= P + half guarantees every wrapped-in lane comes
+        # from that zero region, so circular == zero-padded here.
+        fz = jnp.where(inb, flux, 0.0)
+        conv = jnp.zeros((_TB, Pp), jnp.float32)
+        for k in range(2 * half + 1):
+            # shift 0 must bypass roll: Mosaic rejects the empty slice that
+            # jnp.roll's concatenate decomposition produces at shift 0.
+            shifted = fz if k == half else jnp.roll(fz, half - k, axis=1)
+            conv = conv + kern_ref[:, k][:, None] * shifted
+        # 'same_edge': the half edge pixels revert to the unconvolved model
+        # (reference hires_fitter.py:674-681).
+        edge = (lane < half) | (lane >= P - half)
+        m = jnp.where(edge, flux, conv)
+    else:
+        m = flux
+    m = m * cont_ref[:, 0][:, None]
+    r = data_ref[0, :][None, :] - m
+    chi2 = jnp.sum(ivar_ref[0, :][None, :] * r * r, axis=1)  # (_TB,)
+    chi2_ref[:, :] = jnp.broadcast_to(chi2[:, None], (_TB, 128))
+    if asymm:
+        rn = r * innoise_ref[0, :][None, :]
+        n4 = jnp.sum((rn > 4.0).astype(jnp.float32), axis=1)
+        n5 = jnp.sum((rn > 5.0).astype(jnp.float32), axis=1)
+    else:
+        n4 = n5 = jnp.zeros((_TB,), jnp.float32)
+    n4_ref[:, :] = jnp.broadcast_to(n4[:, None], (_TB, 128))
+    n5_ref[:, :] = jnp.broadcast_to(n5[:, None], (_TB, 128))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "harris", "half", "asymm")
+)
+def likelihood_pallas(
+    dz, gain, av, dnu, d0, c_over_wave, data, ivar, inv_noise, kern, cont,
+    interpret: bool = False, harris: tuple = (), half: int = 0,
+    asymm: bool = False,
+):
+    """Fused chi^2 (+ asymmlike outlier counts) for a batch of samples.
+
+    Parameters: per-sample (B, T) tables as in :func:`voigt_tau_pallas`,
+    plus the (P,) ``data`` / ``ivar`` / ``inv_noise`` spectra (inv_noise
+    zeroed on invalid pixels), the per-sample normalized LSF kernel
+    ``kern`` (B, 2*half+1), and the per-sample continuum ``cont`` (B,).
+    Returns (chi2, n4, n5) each of shape (B,); n4/n5 are the >4 / >5 sigma
+    positive-residual counts used by the asymmetric likelihood (zeros when
+    ``asymm`` is False).
+
+    Convolution semantics are exactly ``lsf_convolve(mode='same_edge')``
+    (the reference's JAX-likelihood path, hires_fitter.py:666-681).
+    """
+    d0 = jnp.asarray(d0)
+    cw = jnp.asarray(c_over_wave)
+    B, T = dz.shape
+    P = cw.shape[0]
+    K = 2 * half + 1
+    Bp = -(-B // _TB) * _TB
+    # One lane-tile spectrum with room for the conv margin (see _ll_kernel).
+    Pp = -(-(P + max(half, 1)) // 128) * 128
+
+    def pad(x, n, axis=0, value=0.0):
+        w = [(0, 0)] * x.ndim
+        w[axis] = (0, n - x.shape[axis])
+        return jnp.pad(x, w, constant_values=value)
+
+    dzp = pad(dz, Bp)
+    gainp = pad(gain, Bp)
+    avp = pad(av, Bp, value=1e6)
+    idnup = pad(1.0 / dnu, Bp)
+    d0p = pad(d0, Pp, axis=1)
+    cwp = pad(cw[None, :], Pp, axis=1)
+    datap = pad(jnp.asarray(data)[None, :], Pp, axis=1)
+    ivarp = pad(jnp.asarray(ivar)[None, :], Pp, axis=1)
+    innp = pad(jnp.asarray(inv_noise)[None, :], Pp, axis=1)
+    kernp = pad(jnp.broadcast_to(jnp.asarray(kern), (B, K)), Bp)
+    contp = pad(jnp.broadcast_to(jnp.asarray(cont), (B,))[:, None], Bp)
+
+    grid = (Bp // _TB,)
+    row = lambda i: (i, 0)
+    full = lambda i: (0, 0)
+    chi2, n4, n5 = pl.pallas_call(
+        functools.partial(
+            _ll_kernel, harris=harris, half=half, P=P, Pp=Pp, asymm=asymm
+        ),
+        out_shape=[jax.ShapeDtypeStruct((Bp, 128), jnp.float32)] * 3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_TB, T), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TB, T), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TB, T), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TB, T), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, Pp), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Pp), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Pp), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Pp), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Pp), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TB, K), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TB, 1), row, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_TB, 128), row, memory_space=pltpu.VMEM)
+        ] * 3,
+        interpret=interpret,
+    )(dzp, gainp, avp, idnup, d0p, cwp, datap, ivarp, innp, kernp, contp)
+    return chi2[:B, 0], n4[:B, 0], n5[:B, 0]
+
+
 def pallas_supported() -> bool:
     """True when running on a TPU backend (the kernel also runs anywhere via
     interpret mode, used by tests)."""

@@ -731,9 +731,23 @@ def run_steps(loglike_batch, state: NSState, config: NSConfig, num_steps: int) -
         # survivors, so its rank among the survivors is uniform on
         # {0, ..., nlive-B}.  Non-uniformity flags under-decorrelated chains
         # (Fowlie, Handley & Su 2020, MNRAS 497:5256).
-        ranks = jnp.sum(
-            surv_logl[None, :] < logl_new[:, None], axis=1
+        #
+        # TIES: near the posterior peak the f32 likelihood is a plateau
+        # landscape (measured: ~90% of logl values in the last decile of a
+        # CIV fit are exact duplicates), and counting a tie as "not less"
+        # would bias ranks low -- a false rank-test failure that more
+        # num_repeats cannot fix.  The correct discrete-likelihood rank is
+        # uniform among the tie positions, so break ties at random.  The
+        # tie-break key is FOLDED from (not split off) the chain key: the
+        # main PRNG stream -- and hence every sampling decision -- is
+        # unchanged by this diagnostic.
+        nless = jnp.sum(surv_logl[None, :] < logl_new[:, None], axis=1)
+        nties = jnp.sum(surv_logl[None, :] == logl_new[:, None], axis=1)
+        tie_pos = jnp.floor(
+            jax.random.uniform(jax.random.fold_in(key, 0x7a7), nless.shape)
+            * (nties + 1).astype(jnp.float32)
         ).astype(jnp.int32)
+        ranks = (nless + jnp.minimum(tie_pos, nties)).astype(jnp.int32)
         dead_rank = jax.lax.dynamic_update_slice(s.dead_rank, ranks, (s.n_dead,))
 
         # ---- rebuild live set ------------------------------------------

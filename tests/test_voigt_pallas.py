@@ -118,6 +118,43 @@ def test_d0_table_reconstructs_f64_u(problem):
     )
 
 
+def test_fused_likelihood_matches_xla(testdata_dir):
+    """The fully fused likelihood kernel (tau -> exp -> LSF conv -> chi^2 +
+    asymmlike counts in one Pallas call) agrees with the XLA path on a
+    trans-dimensional multicomp model with asymmlike on."""
+    m = AbsorptionModel.from_file(
+        f"{testdata_dir}/civ_mock_spec_multicomp.txt",
+        fitrange=[(6180.0, 6220.0)],
+        fitlines=["CIV 1548", "CIV 1550"],
+        ncomp=(2, 4),
+        nfill=1,
+        specres=[8.0],
+        Nrange=[12.0, 14.5],
+        brange=[10.0, 40.0],
+        zrange=[2.99, 3.01],
+        Asymmlike=True,
+    )
+    from mcalf_tpu.models import make_jax_forward
+
+    f_ref = make_jax_forward(m, use_pallas=False)
+    f_pal = make_jax_forward(m, use_pallas=True)
+    assert f_pal.static.asymmlike
+    rng = np.random.default_rng(7)
+    # include near-prior-edge points and a non-multiple-of-8 batch
+    u = rng.uniform(0.02, 0.98, size=(21, m.ndim)).astype(np.float32)
+    la = np.asarray(f_ref.loglike_cube(u))
+    lb = np.asarray(f_pal.loglike_cube(u))
+    # -inf rejections (asymmlike) must agree exactly; finite values to
+    # f32 roundoff of the chi^2 sum
+    assert np.array_equal(np.isfinite(la), np.isfinite(lb)), (la, lb)
+    fin = np.isfinite(la)
+    assert np.allclose(la[fin], lb[fin], rtol=1e-5, atol=0.05), (
+        np.max(np.abs(la[fin] - lb[fin]))
+    )
+    ca = np.asarray(f_ref.chi2(np.asarray(f_ref.cube_to_params(u))))
+    assert np.all(np.isfinite(ca))
+
+
 def test_make_jax_forward_pallas_integration(testdata_dir):
     """Full forward model with the Pallas tau path (interpret on CPU) agrees
     with the default path."""
