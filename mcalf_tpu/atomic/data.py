@@ -104,6 +104,49 @@ _LINES: Dict[str, LineData] = dict(
         # --- Zinc (often blended with CrII) ---
         _L("ZnII 2026", 2026.1370, 0.501000, 4.070e8),
         _L("ZnII 2062", 2062.6604, 0.246000, 3.860e8),
+        # --- Hydrogen Lyman series continuation (Morton 2003 f-values;
+        # gamma extrapolated along the measured A ~ n^-3 series, accurate
+        # to a few % -- negligible for these weak high-order lines) ---
+        _L("HI 923", 923.1504, 0.002216, 5.79e6),
+        _L("HI 920", 920.9631, 0.001605, 4.21e6),
+        _L("HI 919", 919.3514, 0.001201, 3.16e6),
+        _L("HI 918", 918.1294, 0.000921, 2.43e6),
+        _L("HI 917", 917.1806, 0.000723, 1.91e6),
+        # --- Deuterium Ly-alpha/beta (isotope-shifted HI; same f/gamma) ---
+        _L("DI 1215", 1215.3394, 0.416400, 6.265e8),
+        _L("DI 1025", 1025.4433, 0.079120, 1.897e8),
+        # --- Excited fine-structure carbon (shares the CII 1334 upper
+        # term, hence its damping constant) ---
+        _L("CII* 1335", 1335.7077, 0.114900, 2.880e8),
+        # --- Nitrogen multiplet companions of NI 1200.22 ---
+        _L("NI 1199", 1199.5496, 0.130000, 4.070e8),
+        _L("NI 1200.2", 1200.2233, 0.088490, 4.070e8),  # alias of NI 1200
+        _L("NI 1200.7", 1200.7098, 0.044230, 4.070e8),
+        # --- Sulphur (Morton 2003 f; gamma = two-level A_ul from f, exact
+        # when the upper level decays only through this channel -- true for
+        # these resonance triplet members to ~10%) ---
+        _L("SII 1250", 1250.5840, 0.005453, 4.65e7),
+        _L("SII 1253", 1253.8110, 0.010880, 4.62e7),
+        _L("SII 1259", 1259.5190, 0.016240, 4.55e7),
+        # --- Manganese resonance triplet ---
+        _L("MnII 2576", 2576.8770, 0.350800, 2.74e8),
+        _L("MnII 2594", 2594.4990, 0.271000, 2.69e8),
+        _L("MnII 2606", 2606.4620, 0.192700, 2.64e8),
+        # --- Nickel (strongest UV lines; gamma via the same two-level
+        # A_ul estimate) ---
+        _L("NiII 1709", 1709.6042, 0.032400, 7.39e7),
+        _L("NiII 1741", 1741.5531, 0.042700, 9.39e7),
+        _L("NiII 1751", 1751.9157, 0.027700, 6.01e7),
+        # --- Titanium (ground-state line redward of the Lyman forest) ---
+        _L("TiII 3384", 3384.7301, 0.358000, 1.39e8),
+        # --- Magnesium neutral line blended with ZnII 2026 ---
+        _L("MgI 2026", 2026.4768, 0.112000, 6.06e7),
+        # --- Calcium H & K (vacuum wavelengths) ---
+        _L("CaII 3934", 3934.7770, 0.626700, 1.456e8),
+        _L("CaII 3969", 3969.5910, 0.311600, 1.414e8),
+        # --- Sodium D doublet (vacuum wavelengths) ---
+        _L("NaI 5891", 5891.5833, 0.640800, 6.16e7),
+        _L("NaI 5897", 5897.5581, 0.319900, 6.14e7),
     ]
 )
 

@@ -212,6 +212,11 @@ def run_fit(
                 "[run] seeds (seed-ensemble) and dynamic sampling cannot be "
                 "combined; drop one of the two."
             )
+        if configpars.get("checkpoint"):
+            print(
+                "WARNING: [run] checkpoint is not supported with [run] "
+                "seeds; the ensemble runs without checkpoints."
+            )
         return _run_seed_ensemble(
             configpars, model, fwd, cfg, seeds_list, resample_S, debug=debug
         )

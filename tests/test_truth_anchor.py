@@ -46,7 +46,7 @@ def anchor_results(testdata_dir):
     fwd = make_jax_forward(model)
     cfg = NSConfig(ndim=4, nlive=200, max_samples=12000)
     out = []
-    for seed in (0, 1):
+    for seed in (0, 1, 2):
         res = nested_sample(fwd.loglike_cube, jax.random.PRNGKey(seed), cfg)
         jax.block_until_ready(res.logz)
         out.append(res)
@@ -57,9 +57,13 @@ def test_logz_matches_quadrature(anchor_results):
     results, _ = anchor_results
     logzs = np.array([float(r.logz) for r in results])
     errs = np.array([float(r.logzerr) for r in results])
-    # mean within ~2x the quoted per-run error of the truth (the pre-fix
-    # kernels sat 4-5 sigma low)
-    assert abs(logzs.mean() - QUADRATURE_LOGZ) < 2.0 * errs.mean(), (
+    # 3-seed mean within 1.5x the per-run error of the truth: with
+    # per-run sigma ~0.31 this is a ~2.6-sigma bound on the mean -- tight
+    # enough to catch a bias well below the round-1/2 defects (-1.4 to
+    # -1.65 nats, i.e. >7 sigma here), loose enough not to flake on a JAX
+    # upgrade re-rolling the fixed-key streams (measured seeds 0-3 on CPU:
+    # 4983.92/4983.34/4983.17/4983.05, truth 4983.62).
+    assert abs(logzs.mean() - QUADRATURE_LOGZ) < 1.5 * errs.mean(), (
         logzs,
         QUADRATURE_LOGZ,
     )
