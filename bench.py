@@ -98,12 +98,20 @@ def _measure_vpu_roofline():
     per element before the carried value round-trips, so arithmetic
     intensity is 64 FLOP/byte and the measurement is compute-bound (a
     single FMA per pass would measure HBM bandwidth instead -- that bug
-    made the round-3 draft report a 0.067 TFLOP/s 'roofline').  Best of 3."""
+    made the round-3 draft report a 0.067 TFLOP/s 'roofline').  ~100
+    GFLOP per timed call so the relay's per-call overhead (tens of ms)
+    is amortized -- at 17 GFLOP/call the probe under-measured enough to
+    put 'utilization' above 100%.  Best of 3.
+
+    NOTE the relay's throughput drifts up to 5x within a session, so a
+    roofline sampled once is only comparable to rates measured NEAR it
+    in time; main() samples it right after the fits and again at the end
+    and uses the max."""
     import jax
     import jax.numpy as jnp
 
     x = jnp.ones((512, 1024), jnp.float32)
-    iters = 500
+    iters = 3000
     chain = 32
 
     @jax.jit
@@ -190,6 +198,10 @@ def main():
     converged = all(int(r.termination_reason) == 0 for r in runs) and all(
         d.p_value > 0.01 for d in ranks
     )
+
+    # Roofline sample adjacent to the fits (the relay drifts; see
+    # _measure_vpu_roofline) -- a second sample happens at the end.
+    roofline_a = _measure_vpu_roofline()
 
     # ---- sustained likelihood throughput vs reference formulation -------
     rng = np.random.default_rng(0)
@@ -295,7 +307,7 @@ def main():
     ntrans = int(model.transition_table()["pidx"].size)
     flops = _flops_per_eval(ntrans, model.npix, 2 * model.kernel_half_size() + 1)
     fit_eps = n_like / fit_s
-    roofline = _measure_vpu_roofline()
+    roofline = max(roofline_a, _measure_vpu_roofline())
     utilization_pct = round(100.0 * fit_eps * flops / roofline, 1)
 
     print(

@@ -37,8 +37,18 @@ def main(argv=None) -> int:
     os.makedirs(configpars["plotdir"], exist_ok=True)
 
     # Heavy imports after arg parsing so --help/--version stay fast.
-    from mcalf_tpu.runner import build_model, run_fit
+    from mcalf_tpu.runner import build_model, run_fit, spectrum_subconfigs
     from mcalf_tpu.plotting import run_plot
+
+    if len(configpars.get("specfiles") or []) > 1:
+        # Multi-sightline fleet: one fit + plot per spectrum (config
+        # extension; the reference fits one spectrum per config).
+        if configpars["dofit"]:
+            run_fit(configpars, debug=args.debug)
+        if configpars["doplot"]:
+            for sub in spectrum_subconfigs(configpars):
+                run_plot(sub, debug=args.debug)
+        return 0
 
     model = build_model(configpars, debug=args.debug)
     if args.debug:

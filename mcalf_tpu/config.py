@@ -135,8 +135,23 @@ def readconfig(configfile: str) -> Dict[str, Any]:
     )
     ncomp_grid = get("run", "ncomp_grid", False, lambda v: _BOOL[v])
 
+    # Multi-sightline fleet extension: ``specfile`` accepts a comma list
+    # and/or glob patterns (each resolved under datadir).  One entry keeps
+    # the reference's exact single-spectrum semantics; several entries make
+    # run_fit/cli fit each spectrum with the same settings (sharded over
+    # the mesh when the problems stack) under a per-spectrum chain suffix
+    # (SURVEY.md section 2.3 "(spectrum x ncomp x seed) across chips").
+    import glob as _glob
+
+    specfiles = []
+    for tok in cp.get("input", "specfile").split(","):
+        pat = datadir + tok.strip()
+        hits = sorted(_glob.glob(pat))
+        specfiles.extend(hits if hits else [pat])
+
     run_params: Dict[str, Any] = {
-        "specfile": datadir + cp.get("input", "specfile"),
+        "specfile": specfiles[0],
+        "specfiles": specfiles,
         "wavefit": wavefit,
         "linelist": linelist,
         "coldef": coldef,

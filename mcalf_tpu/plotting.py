@@ -69,13 +69,15 @@ def plot_diagnostics(results, ns_config, path: str) -> str:
         alpha=0.75,
     )
     axes[2].axhline(1.0, color="k", ls="--", lw=0.8)
-    se = np.sqrt(nbins / max(diag.n, 1))
+    # bin-count band inflated by the shared-survivor-set factor kappa
+    # (see sampler.diagnostics), like the p-values
+    se = np.sqrt(diag.kappa * nbins / max(diag.n, 1))
     axes[2].axhspan(1 - 2 * se, 1 + 2 * se, color="k", alpha=0.1)
     axes[2].set_xlabel("insertion rank (normalized)")
     axes[2].set_ylabel("density")
     axes[2].set_title(
         f"rank uniformity: p={diag.p_value:.3f} "
-        f"(blocks {diag.p_value_blocks:.3f})"
+        f"(blocks {diag.p_value_blocks:.3f}, $\\kappa$={diag.kappa:.2f})"
     )
 
     fig.tight_layout()

@@ -168,6 +168,10 @@ def run_fit(
     Returns (NSResults, chain basename)."""
     import jax
 
+    specfiles = configpars.get("specfiles") or []
+    if len(specfiles) > 1 and model is None:
+        return _run_spectrum_fleet(configpars, debug=debug)
+
     if configpars.get("ncomp_grid"):
         return _run_ncomp_grid(configpars, debug=debug)
 
@@ -556,3 +560,110 @@ def _run_ncomp_grid(configpars, debug=False):
         if os.path.exists(src):
             shutil.copyfile(src, base + suffix)
     return rows[best][0], base
+
+
+def spectrum_subconfigs(configpars: Dict[str, Any]):
+    """Per-spectrum sub-configs for a multi-sightline run (``specfile`` as
+    a comma list / glob in the config).  Each spectrum gets a
+    ``_<filestem>`` chain/plot suffix (disambiguated on collision) and,
+    when checkpointing, its own checkpoint subdirectory (the problem
+    fingerprint would refuse cross-spectrum resumes anyway)."""
+    specfiles = configpars.get("specfiles") or [configpars["specfile"]]
+    seen: Dict[str, int] = {}
+    subs = []
+    for sf in specfiles:
+        stem = os.path.splitext(os.path.basename(sf))[0]
+        if stem in seen:
+            seen[stem] += 1
+            stem = f"{stem}{seen[stem]}"
+        else:
+            seen[stem] = 0
+        sub = dict(
+            configpars,
+            specfile=sf,
+            specfiles=[sf],
+            chainfmt=configpars["chainfmt"] + "_" + stem,
+        )
+        if configpars.get("checkpoint"):
+            sub["checkpoint"] = os.path.join(configpars["checkpoint"], stem)
+        subs.append(sub)
+    return subs
+
+
+def _run_spectrum_fleet(configpars, debug=False):
+    """Multi-sightline fit through the config surface (``specfile`` list).
+
+    Every spectrum is fit with the same settings.  When the problems stack
+    (same pixel structure after red-end padding) and fill the device mesh,
+    they run SHARDED via :func:`mcalf_tpu.parallel.fit_many` (SURVEY
+    section 2.3 sightline sharding); otherwise each runs through the full
+    single-spectrum ``run_fit`` flow sequentially (which also covers
+    dynamic sampling, seed ensembles and checkpoints per spectrum).
+    Returns the list of per-spectrum (results, chain basename) pairs."""
+    import jax
+
+    subs = spectrum_subconfigs(configpars)
+    ndev = len(jax.devices())
+    plain = not configpars.get("seeds") and not configpars.get("ncomp_grid")
+    cfg_probe, resample_S, dynamic = solver_nsconfig(configpars, 1)
+    use_mesh = plain and not dynamic and ndev > 1 and len(subs) % ndev == 0
+
+    if use_mesh:
+        try:
+            from mcalf_tpu.models.batched import pad_model_to_npix
+            from mcalf_tpu.parallel import fit_many
+            from mcalf_tpu.sampler import insertion_rank_test
+
+            models = [build_model(s, debug=debug) for s in subs]
+            npix = max(m.npix for m in models)
+            padded = [pad_model_to_npix(m, npix) for m in models]
+            cfg, resample_S, _ = solver_nsconfig(configpars, models[0].ndim)
+            if debug:
+                print(
+                    f"[DEBUG]: sharding {len(subs)} spectra over {ndev} "
+                    f"devices"
+                )
+            seed = int(configpars.get("seed", 43))
+            t0 = datetime.datetime.now()
+            with phase_timer("nested_sampling"):
+                batched = fit_many(padded, cfg, seed=seed)
+                jax.block_until_ready(batched.logz)
+            print("Execution time {}".format(datetime.datetime.now() - t0))
+            out = []
+            for i, (sub, m) in enumerate(zip(subs, models)):
+                r = jax.tree.map(lambda a, i=i: a[i], batched)
+                fwd = make_jax_forward(m, gpriors=m.gpriors is not None)
+                os.makedirs(sub["chaindir"], exist_ok=True)
+                base = chain_basename(sub)
+                diag = insertion_rank_test(r, cfg)
+                line = (
+                    f"insertion-rank KS p = {diag.p_value:.4f} "
+                    f"(blocks {diag.p_value_blocks:.4f}, n={diag.n})"
+                )
+                if diag.p_value < 0.01:
+                    print(
+                        f"WARNING: {os.path.basename(sub['specfile'])} "
+                        f"insertion-rank test FAILED (p = {diag.p_value:.4f}"
+                        " < 0.01); raise num_repeats."
+                    )
+                    line += "  ** FAILED (p < 0.01) **"
+                if int(r.termination_reason) != 0:
+                    print(
+                        f"WARNING: {os.path.basename(sub['specfile'])} hit "
+                        "max_samples before the evidence converged."
+                    )
+                _write_chain_files(base, fwd, r, resample_S, [line])
+                print(f"Saved results to {base}_equal_weights.txt")
+                out.append((r, base))
+            return out
+        except ValueError as e:
+            print(
+                f"NOTE: spectra do not stack for mesh sharding ({e}); "
+                "fitting sequentially."
+            )
+
+    out = []
+    for sub in subs:
+        print(f"--- fitting {sub['specfile']} ---")
+        out.append(run_fit(sub, debug=debug))
+    return out

@@ -78,3 +78,43 @@ def test_solver_mapping(testdata_dir):
     assert S2 == 0
     with pytest.raises(ValueError):
         solver_nsconfig(dict(cfg, solver="emcee"), ndim=4)
+
+
+def test_specfile_list_and_glob(tmp_path):
+    for name in ("s1.txt", "s2.txt", "other.dat"):
+        (tmp_path / name).write_text("1 1 1\n")
+    cfg = tmp_path / "c.cfg"
+    cfg.write_text(
+        f"""
+[input]
+specfile = s*.txt, other.dat
+wavefit = 6180,6220
+linelist = CIV 1548
+
+[pathing]
+datadir = {tmp_path}/
+"""
+    )
+    pars = readconfig(str(cfg))
+    names = [p.rsplit("/", 1)[-1] for p in pars["specfiles"]]
+    assert names == ["s1.txt", "s2.txt", "other.dat"]
+    assert pars["specfile"].endswith("s1.txt")  # back-compat: first entry
+
+
+def test_specfile_single_unchanged(tmp_path):
+    (tmp_path / "one.txt").write_text("1 1 1\n")
+    cfg = tmp_path / "c.cfg"
+    cfg.write_text(
+        f"""
+[input]
+specfile = one.txt
+wavefit = 6180,6220
+linelist = CIV 1548
+
+[pathing]
+datadir = {tmp_path}/
+"""
+    )
+    pars = readconfig(str(cfg))
+    assert pars["specfiles"] == [pars["specfile"]]
+    assert pars["specfile"].endswith("one.txt")

@@ -403,3 +403,98 @@ def test_refit_with_dofit_false_reuses_chains(e2e_outputs, testdata_dir, capsys)
     captured = capsys.readouterr()
     assert "Ln(z):" in captured.out
     assert "Ncomp: 01 Occurrence Fraction: 1.000" in captured.out
+
+
+def test_multi_spectrum_sequential(tmp_path, testdata_dir):
+    # ``specfile`` as a comma list (here the same file twice -> the stem
+    # collision disambiguator kicks in): one fit + plot per spectrum,
+    # chain files under per-spectrum suffixes.
+    cfg = tmp_path / "multi.cfg"
+    cfg.write_text(
+        f"""
+[input]
+specfile = civ_mock_spec.txt, civ_mock_spec.txt
+wavefit = 6180,6220
+linelist = CIV 1548, CIV 1550
+solver = jaxns
+specres = 8.0
+
+[pathing]
+datadir = {testdata_dir}/
+outdir = {tmp_path}/
+chainfmt = ms_{{0}}
+
+[components]
+ncomp = 1,1
+Nrange = 12.0,14.5
+brange = 10.0, 40.0
+zrange = 2.99, 3.01
+
+[run]
+dofit = True
+doplot = True
+
+[jaxns_settings]
+max_samples = 2500
+num_live_points = 60
+"""
+    )
+    rc = main([str(cfg)])
+    assert rc == 0
+    fits, plots = tmp_path / "fits", tmp_path / "plots"
+    for stem in ("civ_mock_spec", "civ_mock_spec1"):
+        lnz, err = read_stats(str(fits / f"ms_0_{stem}.stats"))
+        assert 4900 < lnz < 5050 and 0 < err < 1.5
+        assert os.path.exists(fits / f"ms_0_{stem}_equal_weights.txt")
+        assert os.path.exists(plots / f"ms_0_{stem}.pdf")
+
+
+def test_multi_spectrum_sharded(tmp_path, testdata_dir, capsys):
+    # 8 spectra on the 8-device virtual mesh: the stacked/sharded path
+    # (identical files stack trivially).  doplot off to keep it fast.
+    speclist = ", ".join(["civ_mock_spec.txt"] * 8)
+    cfg = tmp_path / "multi8.cfg"
+    cfg.write_text(
+        f"""
+[input]
+specfile = {speclist}
+wavefit = 6180,6220
+linelist = CIV 1548, CIV 1550
+solver = jaxns
+specres = 8.0
+
+[pathing]
+datadir = {testdata_dir}/
+outdir = {tmp_path}/
+chainfmt = m8_{{0}}
+
+[components]
+ncomp = 1,1
+Nrange = 12.0,14.5
+brange = 10.0, 40.0
+zrange = 2.99, 3.01
+
+[run]
+dofit = True
+doplot = False
+
+[jaxns_settings]
+max_samples = 1600
+num_live_points = 40
+"""
+    )
+    rc = main([str(cfg), "--debug"])
+    assert rc == 0
+    captured = capsys.readouterr()
+    assert "sharding 8 spectra over 8 devices" in captured.out
+    fits = tmp_path / "fits"
+    lnzs = []
+    for i, stem in enumerate(
+        ["civ_mock_spec"] + [f"civ_mock_spec{k}" for k in range(1, 8)]
+    ):
+        lnz, err = read_stats(str(fits / f"m8_0_{stem}.stats"))
+        lnzs.append(lnz)
+        assert 4900 < lnz < 5050 and 0 < err < 2.0
+    # identical data, different per-shard seeds -> close but not equal
+    assert np.std(lnzs) < 3.0
+    assert len(set(lnzs)) > 1
