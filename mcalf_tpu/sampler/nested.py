@@ -447,7 +447,24 @@ def slice_chains(
     (u_new, logl_new, key, n_evals).  This is the constrained-replacement
     engine of the NS step, factored out so the dynamic (posterior-boost)
     sampler can reuse it to decorrelate fresh live sets at an arbitrary
-    threshold (sampler/dynamic.py)."""
+    threshold (sampler/dynamic.py).
+
+    SCHEDULING (round-3 rewrite): chains advance their passes
+    ASYNCHRONOUSLY.  The lockstep formulation (scan over passes, inner
+    while_loop until every chain accepts) pays max_i(iters_i) batched
+    likelihood calls per pass -- measured ~20 on the flagship fit while the
+    per-chain mean is ~6, i.e. ~3x the work, because the batch stalls on
+    its slowest chain every single pass.  Here ONE while_loop carries a
+    per-chain pass counter: each iteration proposes one point per chain
+    (one batched likelihood call), accepting chains start their next pass
+    with a fresh direction immediately, and the loop runs until every
+    chain has completed num_repeats passes.  Total cost is
+    max_i(sum_p iters_{i,p}), and the sum over hundreds of passes
+    concentrates (CLT) to ~mean + a few percent.  The per-chain Markov
+    kernel -- direction mixture, cube-chord bracket, shrinkage,
+    max_shrink abandonment -- is IDENTICAL to the lockstep version, so
+    the statistics of the replacements are unchanged; only the wall-clock
+    (and the honest n_evals accounting) drops."""
     ndim = cfg.ndim
     B = u_start.shape[0]
     nsurv = surv_u.shape[0]
@@ -477,45 +494,53 @@ def slice_chains(
         chol_k = jnp.linalg.cholesky(cov_k + 1e-10 * eye[None])   # (K,d,d)
         logw_k = jnp.where(n_k > 0, jnp.log(jnp.maximum(n_k, 1.0)), -jnp.inf)
 
-    def slice_pass(carry, _):
-        u_cur, logl_cur, key, n_like = carry
-        key, kd, kj, km = jax.random.split(key, 4)
-        # Unit direction in the whitened frame, mapped through L: |d| is
-        # then ~ the live-point spread along that direction, so the
-        # shrink loop converges in O(1) iterations.  With clustering the
-        # frame is drawn per chain from the cluster-size-weighted mixture:
-        # each direction describes ONE mode's geometry instead of the
-        # cross-mode smear of the global covariance.
+    def draw_directions(key):
+        """One fresh slice direction per chain, drawn from the mixture.
+        Depends only on the survivor set and the PRNG -- NOT on the chains'
+        current points, as slice-kernel validity requires (the direction
+        distribution must be identical at every point on the line).
+
+        Unit direction in the whitened frame, mapped through L: |d| is
+        then ~ the live-point spread along that direction, so the
+        shrink loop converges in O(1) iterations.  With clustering the
+        frame is drawn per chain from the cluster-size-weighted mixture:
+        each direction describes ONE mode's geometry instead of the
+        cross-mode smear of the global covariance.
+
+        Direction mixture.  With the cube-chord bracket only the
+        ANGULAR distribution matters (the bracket ignores |d|), and no
+        single family mixes every phase of a real absorption fit:
+        * whitened Gaussian -- right for the unimodal late phase;
+        * global differential evolution (difference of two random
+          survivors) -- carries mode-to-mode vectors when the region
+          fragments (noise-induced secondary redshift channels);
+        * coordinate axes -- the slab+tunnel mid-phase of absorption
+          fits is axis-aligned in the collapsed (redshift) dims, which
+          generic directions cross at unproductive angles;
+        * (canon_layout only) TRIPLET-RESTRICTED differential evolution
+          -- the survivor difference masked to one random (N, z, b)
+          triplet.  Sliding along it reassigns a single component
+          wholesale (t=1 swaps in the other survivor's component) while
+          leaving every other dimension fixed: the coordinated "move one
+          component to another line" update that generic directions
+          almost never propose.
+        (A "local DE" variant -- nearest-neighbor pairs -- was tried
+        and makes things WORSE: small steps under-explore; measured
+        -4.3 nats on the 1-comp CIV anchor.)"""
+        kd, kj, km, kc, kcl, kg, kx, ka, kt_ = jax.random.split(key, 9)
         n = jax.random.normal(kd, (B, ndim), f32)
         n = n / (jnp.linalg.norm(n, axis=1, keepdims=True) + 1e-12)
         if K == 1:
             d_white = n @ chol_k[0].T
         else:
-            key, kc = jax.random.split(key)
             cw = jax.random.categorical(kc, logw_k, shape=(B,))
             d_white = jnp.einsum("bi,bji->bj", n, chol_k[cw])
-        # Direction mixture.  With the cube-chord bracket only the
-        # ANGULAR distribution matters (the bracket ignores |d|), and no
-        # single family mixes every phase of a real absorption fit:
-        # * whitened Gaussian -- right for the unimodal late phase;
-        # * global differential evolution (difference of two random
-        #   survivors) -- carries mode-to-mode vectors when the region
-        #   fragments (noise-induced secondary redshift channels);
-        # * coordinate axes -- the slab+tunnel mid-phase of absorption
-        #   fits is axis-aligned in the collapsed (redshift) dims, which
-        #   generic directions cross at unproductive angles.
-        # (A "local DE" variant -- nearest-neighbor pairs -- was tried
-        # and makes things WORSE: small steps under-explore; measured
-        # -4.3 nats on the 1-comp CIV anchor.)  Direction choice is
-        # independent of the current point within a pass, so the
-        # mixture is a valid slice kernel.
         w_white, w_de, w_axis = cfg.move_mix
         jidx = jax.random.randint(kj, (2, B), 0, nsurv)
         if K > 1:
             # Within-cluster DE pairs (uniform member choice via the
             # Gumbel-argmax trick over the cluster mask), keeping a 25%
             # cross-cluster fraction for mode-to-mode difference vectors.
-            key, kcl, kg, kx = jax.random.split(key, 4)
             c2 = jax.random.categorical(kcl, logw_k, shape=(B,))
             member = surv_cluster[None, :] == c2[:, None]     # (B, nsurv)
             g = jax.random.gumbel(kg, (2, B, nsurv), f32)
@@ -523,24 +548,15 @@ def slice_chains(
             jidx_local = jnp.argmax(score, axis=-1).astype(jnp.int32)
             cross = jax.random.uniform(kx, (1, B), f32) < 0.25
             jidx = jnp.where(cross, jidx, jidx_local)
-        # Fourth family for component-structured models (canon_layout set):
-        # TRIPLET-RESTRICTED differential evolution -- the survivor
-        # difference masked to one random (N, z, b) triplet.  Sliding along
-        # it reassigns a single component wholesale (t=1 swaps in the other
-        # survivor's component) while leaving every other dimension fixed:
-        # the coordinated "move one component to another line" update that
-        # generic directions almost never propose.
         w_trip = (w_white + w_de + w_axis) / 3.0 if cfg.canon_layout else 0.0
         tot = w_white + w_de + w_axis + w_trip
         r_mv = jax.random.uniform(km, (B, 1), f32) * tot
         d_diff = surv_u[jidx[0]] - surv_u[jidx[1]]
         de_ok = jnp.linalg.norm(d_diff, axis=1, keepdims=True) > 1e-7
-        key, ka = jax.random.split(key)
         axis_idx = jax.random.randint(ka, (B,), 0, ndim)
         d_axis = jax.nn.one_hot(axis_idx, ndim, dtype=f32)
         if cfg.canon_layout:
             startind, ncompmax, nfill = cfg.canon_layout[:3]
-            key, kt_ = jax.random.split(key)
             tsel = jax.random.randint(kt_, (B,), 0, ncompmax + max(nfill, 0))
             dim_ids = jnp.arange(ndim)
             trip_of_dim = (dim_ids - (startind + 1)) // 3  # -1 for head dims
@@ -554,7 +570,7 @@ def slice_chains(
         else:
             d_trip = d_diff
             trip_ok = de_ok
-        d = jnp.where(
+        return jnp.where(
             (r_mv < w_de) & de_ok,
             d_diff,
             jnp.where(
@@ -567,67 +583,100 @@ def slice_chains(
                 ),
             ),
         )
-        # Exact cube-chord bracket: the full extent of the line
-        # u_cur + t d inside the unit cube.  This PROVABLY contains the
-        # entire slice (slice subset of prior support), so shrinkage-only
-        # is an unconditionally valid slice kernel (Neal 2003) with ZERO
-        # bracket-expansion likelihood calls -- unlike a fixed-width
-        # bracket (which truncates wide slices and biases logZ, measured
-        # +0.15..+0.34 nats at ndim=8) or step-out (correct but ~2.5x
-        # the evals per pass on multimodal trans-dimensional fits, where
-        # expansions chase distant modes).  Whitening keeps the expected
-        # chord/slice ratio O(10), so shrinkage converges in
-        # ~log2(chord/slice)+2 ~ 5-8 iterations.
+
+    def bracket(u_cur, d):
+        """Exact cube-chord bracket: the full extent of the line
+        u_cur + t d inside the unit cube.  This PROVABLY contains the
+        entire slice (slice subset of prior support), so shrinkage-only
+        is an unconditionally valid slice kernel (Neal 2003) with ZERO
+        bracket-expansion likelihood calls -- unlike a fixed-width
+        bracket (which truncates wide slices and biases logZ, measured
+        +0.15..+0.34 nats at ndim=8) or step-out (correct but ~2.5x
+        the evals per pass on multimodal trans-dimensional fits, where
+        expansions chase distant modes).  Whitening keeps the expected
+        chord/slice ratio O(10), so shrinkage converges in
+        ~log2(chord/slice)+2 ~ 5-8 iterations per chain."""
         safe_d = jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
         c1 = (0.0 - u_cur) / safe_d                   # (B, ndim)
         c2 = (1.0 - u_cur) / safe_d
         lo = jnp.max(jnp.minimum(c1, c2), axis=1)     # (B,)
         hi = jnp.min(jnp.maximum(c1, c2), axis=1)
+        return lo, hi
 
-        def shrink_cond(c):
-            _, _, _, _, done, _, it, _ = c
-            return (~jnp.all(done)) & (it < cfg.max_shrink)
+    nrep = jnp.int32(cfg.num_repeats)
+    # Hard iteration ceiling: no chain can take more than max_shrink
+    # proposals per pass, so the loop provably terminates by then.
+    total_cap = jnp.int32(cfg.num_repeats * cfg.max_shrink)
 
-        def shrink_body(c):
-            lo, hi, u_new, logl_new, done, key, it, n_like = c
-            key, kt = jax.random.split(key)
-            t = lo + jax.random.uniform(kt, (B,), f32) * (hi - lo)
-            u_prop = u_cur + t[:, None] * d
-            inside = jnp.all((u_prop >= 0.0) & (u_prop <= 1.0), axis=1)
-            ll_prop = loglike_batch(jnp.clip(u_prop, 0.0, 1.0))
-            ll_prop = jnp.where(inside, ll_prop, -jnp.inf)
-            acc = (ll_prop > lstar) & (~done)
-            u_new = jnp.where(acc[:, None], u_prop, u_new)
-            logl_new = jnp.where(acc, ll_prop, logl_new)
-            shrink = (~done) & (~acc)
-            lo = jnp.where(shrink & (t < 0), t, lo)
-            hi = jnp.where(shrink & (t >= 0), t, hi)
-            done = done | acc
-            return (lo, hi, u_new, logl_new, done, key, it + 1, n_like + B)
+    # Direction POOL: chain i's pass p uses pool_d[p, i].  Every chain
+    # needs exactly num_repeats directions, all independent of the chain
+    # trajectories, so they are drawn up front in one vectorized shot --
+    # the while_loop body then only GATHERS (B, ndim) rows, keeping the
+    # per-iteration critical path likelihood-dominated (the per-iteration
+    # draw was measured 3x the likelihood cost on TPU: gumbel cluster
+    # selection + categorical + per-chain cholesky einsum every step).
+    key, kpool = jax.random.split(key)
+    pool_d = jax.vmap(draw_directions)(
+        jax.random.split(kpool, cfg.num_repeats)
+    )                                                  # (R, B, ndim)
 
-        init = (
-            lo,
-            hi,
-            u_cur,
-            logl_cur,
-            jnp.zeros((B,), bool),
-            key,
-            jnp.int32(0),
-            n_like,
-        )
-        lo, hi, u_new, logl_new, done, key, _, n_like = jax.lax.while_loop(
-            shrink_cond, shrink_body, init
-        )
-        # Chains that never accepted (bracket exhausted) stay in place --
-        # valid (identity kernel) though it wastes decorrelation.
-        return (u_new, logl_new, key, n_like), None
+    d0 = pool_d[0]
+    lo0, hi0 = bracket(u_start, d0)
 
-    (u_new, logl_new, key, n_like), _ = jax.lax.scan(
-        slice_pass,
-        (u_start, logl_start, key, jnp.int32(0)),
-        None,
-        length=cfg.num_repeats,
+    def async_cond(c):
+        _, _, _, _, _, _, passes, _, _, it_total = c
+        return jnp.any(passes < nrep) & (it_total < total_cap)
+
+    def async_body(c):
+        (u_cur, logl_cur, d, lo, hi, it_pass, passes, key, n_like,
+         it_total) = c
+        active = passes < nrep
+        key, kt = jax.random.split(key)
+        t = lo + jax.random.uniform(kt, (B,), f32) * (hi - lo)
+        u_prop = u_cur + t[:, None] * d
+        inside = jnp.all((u_prop >= 0.0) & (u_prop <= 1.0), axis=1)
+        ll_prop = loglike_batch(jnp.clip(u_prop, 0.0, 1.0))
+        ll_prop = jnp.where(inside, ll_prop, -jnp.inf)
+        acc = (ll_prop > lstar) & active
+        u_cur = jnp.where(acc[:, None], u_prop, u_cur)
+        logl_cur = jnp.where(acc, ll_prop, logl_cur)
+        # Rejection shrinks the bracket toward the (unchanged) current
+        # point; a chain that exhausts max_shrink proposals abandons the
+        # pass and keeps its point (identity kernel -- valid but lazier).
+        rej = active & ~acc
+        it_pass = jnp.where(rej, it_pass + 1, it_pass)
+        lo = jnp.where(rej & (t < 0), t, lo)
+        hi = jnp.where(rej & (t >= 0), t, hi)
+        exhausted = rej & (it_pass >= cfg.max_shrink)
+        fin = acc | exhausted
+        passes = passes + fin.astype(jnp.int32)
+        # Chains that finished a pass (and still owe passes) start the next
+        # one NOW with its next pooled direction -- nobody waits for the
+        # batch.
+        need = fin & (passes < nrep)
+        d_new = pool_d[jnp.minimum(passes, nrep - 1), jnp.arange(B)]
+        lo_new, hi_new = bracket(u_cur, d_new)
+        d = jnp.where(need[:, None], d_new, d)
+        lo = jnp.where(need, lo_new, lo)
+        hi = jnp.where(need, hi_new, hi)
+        it_pass = jnp.where(fin, jnp.int32(0), it_pass)
+        return (u_cur, logl_cur, d, lo, hi, it_pass, passes, key,
+                n_like + B, it_total + 1)
+
+    init = (
+        u_start,
+        logl_start,
+        d0,
+        lo0,
+        hi0,
+        jnp.zeros((B,), jnp.int32),
+        jnp.zeros((B,), jnp.int32),
+        key,
+        jnp.int32(0),
+        jnp.int32(0),
     )
+    out = jax.lax.while_loop(async_cond, async_body, init)
+    u_new, logl_new, _, _, _, _, _, key, n_like, _ = out
     return u_new, logl_new, key, n_like
 
 
