@@ -9,7 +9,9 @@ clustering, the fused Pallas likelihood kernel,
 num_delete = nlive//2 = 100 (the measured throughput knee),
 num_repeats = 544 (the round-3 repeats ladder in tools/flagship_study.py is
 flat from 68 up -- means 4853.6/4855.2/4858.0/4856.7 at 68/136/272/544 --
-and the two seeds agree to 0.7 nats at 544).
+and the two seeds agree to 0.7 nats at 544; re-validated after the
+asynchronous pass scheduler landed: 4856.84/4855.63 at 2.7x fewer
+likelihood evals, rank p 0.89/0.30).
 
 Two independent seeds are fit and merged via birth-contour run merging
 (sampler/merge.py).  ``converged`` now gates on BOTH the evidence

@@ -84,8 +84,15 @@ def solver_nsconfig(
     for solver=dypolychord (its reference role, cli.py:122-158), or forced
     either way with ``[ns_settings] dynamic``.  Defaults per solver mirror
     the reference's defaults for that backend:
-    * polychord/dypolychord: nlive=100, num_repeats=20, precision 1e-3
-      (cli.py:91-93)
+    * polychord/dypolychord: nlive=100, precision 1e-3 (cli.py:91-93).
+      num_repeats, when not set in [pc_settings]/[ns_settings], uses the
+      CALIBRATED default (12*ndim, NSConfig.resolved) rather than
+      PolyChord's 5*ndim: PolyChord's figure is tuned to ITS slice
+      kernel, and ours measurably under-mixes there (~-2 nats on the
+      1-comp CIV fit at 5*ndim vs the quadrature anchor) -- replicating
+      it would replicate a bias, the same policy as the SURVEY 5.6
+      config bugs we deliberately fix.  The asynchronous pass scheduler
+      makes 12*ndim cost about what 5*ndim used to.
     * multinest: nlive=1000, evidence_tolerance=0.1 (cli.py:170-182)
     * dynesty: nlive=500 (dynesty's default)
     * jaxns: nlive=500, max_samples=1e5, difficult_model=False
@@ -110,7 +117,7 @@ def solver_nsconfig(
     if solver in ("polychord", "dypolychord"):
         s = configpars.get("pc_settings", {})
         nlive = int(s.get("nlive", 100))
-        num_repeats = int(s.get("num_repeats", 20))
+        num_repeats = int(s.get("num_repeats", 0))  # 0 -> calibrated 12*ndim
         precision = float(s.get("precision_criterion", 1e-3))
         if not _as_bool(s.get("do_clustering", True), True):
             max_clusters = 1
