@@ -90,6 +90,26 @@ def test_batch_deletion_consistency():
         assert abs(lz) < max(4 * le, 0.15), outs
 
 
+def test_async_pass_scheduling_cost():
+    # The slice passes are scheduled asynchronously per chain
+    # (sampler/nested.py slice_chains): total likelihood evals per
+    # replacement concentrate near num_repeats * (per-chain mean iters),
+    # NOT num_repeats * (max over the deletion block) as the old lockstep
+    # formulation paid.  On this well-whitened Gaussian the per-chain
+    # mean is ~3-5 evals/pass; the lockstep max over B=100 chains was
+    # ~2-3x that.  Guard the property: a regression to batch-synchronous
+    # stalling roughly doubles evals/pass and fails the bound.
+    ndim, sigma = 4, 0.08
+    cfg = NSConfig(ndim=ndim, nlive=200, num_delete=100, num_repeats=24,
+                   max_samples=6000, precision_criterion=1e-2)
+    res = nested_sample(gaussian_loglike(sigma, ndim), jax.random.PRNGKey(7),
+                        cfg)
+    n_dead = int(res.n_dead) - cfg.nlive  # live fold-in isn't sampled
+    evals_per_pass = (int(res.n_like) - cfg.nlive) / (n_dead * cfg.num_repeats)
+    assert evals_per_pass < 7.0, evals_per_pass
+    assert abs(float(res.logz)) < 4 * float(res.logzerr)
+
+
 def test_max_samples_cap_and_static_shapes():
     ndim = 2
     ll = gaussian_loglike(0.02, ndim)
