@@ -89,8 +89,10 @@ class NSConfig:
     #: doubles num_repeats (jaxns 'difficult_model', cli.py:266-267)
     difficult_model: bool = False
     #: slice-direction mixture weights (whitened-Gaussian, global
-    #: differential-evolution, coordinate-axis); see the direction-mixture
-    #: note in run_steps
+    #: differential-evolution, coordinate-axis[, triplet-DE]); the optional
+    #: 4th weight tunes the triplet-restricted DE family directly (only
+    #: active with canon_layout; default: mean of the first three).  See
+    #: the direction-mixture note in slice_chains.draw_directions
     move_mix: tuple = (1.0, 1.0, 1.0)
     #: label-symmetry gauge fixing for trans-dimensional component fits:
     #: ``(startind, ncompmax, nfill)`` describing the
@@ -535,7 +537,7 @@ def slice_chains(
         else:
             cw = jax.random.categorical(kc, logw_k, shape=(B,))
             d_white = jnp.einsum("bi,bji->bj", n, chol_k[cw])
-        w_white, w_de, w_axis = cfg.move_mix
+        w_white, w_de, w_axis = cfg.move_mix[:3]
         jidx = jax.random.randint(kj, (2, B), 0, nsurv)
         if K > 1:
             # Within-cluster DE pairs (uniform member choice via the
@@ -548,7 +550,14 @@ def slice_chains(
             jidx_local = jnp.argmax(score, axis=-1).astype(jnp.int32)
             cross = jax.random.uniform(kx, (1, B), f32) < 0.25
             jidx = jnp.where(cross, jidx, jidx_local)
-        w_trip = (w_white + w_de + w_axis) / 3.0 if cfg.canon_layout else 0.0
+        if cfg.canon_layout:
+            w_trip = (
+                cfg.move_mix[3]
+                if len(cfg.move_mix) > 3
+                else (w_white + w_de + w_axis) / 3.0
+            )
+        else:
+            w_trip = 0.0
         tot = w_white + w_de + w_axis + w_trip
         r_mv = jax.random.uniform(km, (B, 1), f32) * tot
         d_diff = surv_u[jidx[0]] - surv_u[jidx[1]]
