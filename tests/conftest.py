@@ -28,6 +28,25 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _drop_compiled_executables():
+    """Free jit executables between test modules.
+
+    Every compiled executable holds LLVM-JIT'd code in its own set of
+    memory mappings; a single-process run of the full suite compiles
+    thousands of variants and the process's mapping count grows ~2k/min
+    (measured via /proc/self/maps) until it hits vm.max_map_count
+    (65530 default), where the next mmap fails inside XLA:CPU's LLVM
+    codegen and the compiler SEGFAULTS (observed deterministically ~37
+    min in, in whichever test compiles next -- the traceback blames an
+    innocent test).  Executables are only reachable through the jit
+    caches once a module's closures are gone, so clearing per module
+    caps the mapping count at the suite's largest single module.  Costs
+    only cross-module cache hits, which are rare (configs differ)."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def testdata_dir():
     # Reference mock spectra are golden fixtures (read-only).
