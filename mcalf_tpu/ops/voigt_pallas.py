@@ -20,11 +20,18 @@ Correctness contract: matches the XLA tau path (models/jax_model
 .reconstruct_core) to f32 roundoff; tests/test_voigt_pallas.py compares
 against an f64-u reference.
 
-Benchmarked against the XLA path on a v5e (BENCH extra): roughly speed-tied
-at batch >= 200 and ~20% slower at the production deletion batch (B=50),
-because the series near-region spans 300-900 px of the 2000-px spectrum, so
-at (8, 512) tiles the skip predicate almost never fires.  The XLA path is
-therefore the default; this kernel stays opt-in (MCALF_TPU_PALLAS=1).
+Two kernels live here.  ``voigt_tau_pallas`` (tau only) is the round-2
+kernel: measured roughly speed-tied with XLA at batch >= 200 and ~20%
+slower at small batches, because exp(-tau), the convolution and the chi^2
+reduction all bounced back through HBM.  ``likelihood_pallas`` (round 3)
+fuses the ENTIRE likelihood -- tau -> exp(-tau) -> LSF convolution (static
+lane rotations) -> chi^2 partial reduction + asymmlike outlier counts --
+in one VMEM-resident kernel with no HBM intermediates, and measures
++3-6% over the XLA path at the production deletion batch (BENCH_r03
+``pallas_fused_vs_xla``).  It is therefore the PRODUCTION DEFAULT on TPU
+(models/jax_model.resolve_use_pallas: auto-on when the (T, P) tables fit
+VMEM; MCALF_TPU_PALLAS=0 overrides).  The tau-only kernel stays for the
+head-to-head and as the fallback shape.
 """
 
 from __future__ import annotations
