@@ -498,3 +498,90 @@ num_live_points = 40
     # identical data, different per-shard seeds -> close but not equal
     assert np.std(lnzs) < 3.0
     assert len(set(lnzs)) > 1
+
+
+def test_cli_kill_and_resume_bit_identical(tmp_path, testdata_dir, capsys,
+                                           monkeypatch):
+    # Crash-resume through the CLI (the reference's PolyChord read_resume
+    # role, cli.py:97-98): a fit killed mid-run restarts from its latest
+    # checkpoint and -- at a FIXED chunk schedule -- finishes bit-identical
+    # to an uninterrupted run (.stats byte-equal).
+    monkeypatch.setenv("MCALF_TPU_NS_CHUNK", "4")
+
+    def write_cfg(name, outdir, ckpt):
+        cfg = tmp_path / name
+        cfg.write_text(
+            f"""
+[input]
+specfile = civ_mock_spec.txt
+wavefit = 6180,6220
+linelist = CIV 1548, CIV 1550
+coldef = Wave, Flux, Err
+solver = polychord
+specres = 8.0
+
+[pathing]
+datadir = {testdata_dir}/
+outdir = {outdir}/
+chainfmt = res_{{0}}
+
+[components]
+ncomp = 1,1
+contval = 1
+Nrange = 12.0,14.5
+brange = 10.0, 40.0
+zrange = 2.99, 3.01
+
+[run]
+dofit = True
+doplot = False
+seed = 43
+{ckpt}
+
+[ns_settings]
+nlive = 60
+num_repeats = 24
+max_samples = 2500
+precision_criterion = 0.01
+"""
+        )
+        return cfg
+
+    # Uninterrupted reference run (same fixed chunk schedule, no checkpoints).
+    ref_out = tmp_path / "ref"
+    rc = main([str(write_cfg("ref.cfg", ref_out, ""))])
+    assert rc == 0
+    ref_stats = (ref_out / "fits" / "res_0.stats").read_bytes()
+
+    # Interrupted run: die after 3 sampler chunks (checkpoints 1-3 on disk).
+    int_out = tmp_path / "int"
+    ckpt_dir = tmp_path / "ckpt"
+    cfg_int = write_cfg("int.cfg", int_out, f"checkpoint = {ckpt_dir}")
+
+    import mcalf_tpu.sampler.nested as nested
+
+    real_run_steps = nested.run_steps
+
+    class Killed(RuntimeError):
+        pass
+
+    calls = {"n": 0}
+
+    def dying_run_steps(*a, **k):
+        calls["n"] += 1
+        if calls["n"] > 3:
+            raise Killed("simulated mid-fit crash")
+        return real_run_steps(*a, **k)
+
+    monkeypatch.setattr(nested, "run_steps", dying_run_steps)
+    with pytest.raises(Killed):
+        main([str(cfg_int)])
+    monkeypatch.setattr(nested, "run_steps", real_run_steps)
+    assert any(ckpt_dir.glob("ns_state_*.npz")), "no checkpoint written"
+
+    # Second invocation resumes past the crash and completes.
+    capsys.readouterr()
+    rc = main([str(cfg_int)])
+    assert rc == 0
+    assert "Resuming from checkpoint" in capsys.readouterr().out
+    assert (int_out / "fits" / "res_0.stats").read_bytes() == ref_stats
