@@ -142,6 +142,75 @@ def _flops_per_eval(ntrans, npix, taps):
     return ntrans * npix * 62 + npix * (2 * taps + 6)
 
 
+def _hi_forest_fit():
+    """Secondary workload: HI Lya forest + filler nuisance line (BASELINE.md
+    config #4, mirroring tests/test_hi_forest.py) -- a different transition,
+    grid, and trans-dimensional shape (ncomp 1-3 + 1 filler, ndim=13) so the
+    recorded numbers show the sampler generalizes beyond the CIV flagship.
+    Truth: 2 HI components plus a CIV contaminant the filler absorbs."""
+    import jax
+    import numpy as np
+
+    from mcalf_tpu.atomic import get_lines
+    from mcalf_tpu.models import AbsorptionModel, make_jax_forward
+    from mcalf_tpu.models.forward import CLIGHT_KMS
+    from mcalf_tpu.sampler import NSConfig, insertion_rank_test, nested_sample
+
+    velstep = 2.0
+    step = 1.0 + velstep / CLIGHT_KMS
+    n = 400
+    wave = 4251.0 * step ** np.arange(n)
+    gen = AbsorptionModel(
+        wave=wave, flux=np.ones(n), noise=np.full(n, 0.02),
+        lines=get_lines(["HI 1215"]), ncomp=(2, 2), specres=[8.0],
+    )
+    p = np.array([2.0, 13.6, 2.4975, 25.0, 13.2, 2.4995, 18.0])
+    flux = gen.reconstruct_spec(p)
+    civ = AbsorptionModel(
+        wave=wave, flux=np.ones(n), noise=np.full(n, 0.02),
+        lines=get_lines(["CIV 1548"]), ncomp=(1, 1), specres=[8.0],
+    )
+    zciv = 4259.0 / 1548.204 - 1.0
+    flux = flux * civ.reconstruct_spec(np.array([1.0, 13.4, zciv, 12.0]))
+    rng = np.random.RandomState(7)
+    noisy = flux + rng.normal(0, 0.02, n)
+
+    m = AbsorptionModel(
+        wave=wave, flux=noisy, noise=np.full(n, 0.02),
+        lines=get_lines(["HI 1215"]), ncomp=(1, 3), nfill=1,
+        specres=[8.0], Nrange=[12.5, 14.5], brange=[10.0, 40.0],
+        zrange=[(4251.0 / 1215.67 - 1), (4262.0 / 1215.67 - 1)],
+        Nrangefill=[12.5, 15.0], brangefill=[5.0, 30.0],
+    )
+    fwd = make_jax_forward(m)
+    cfg = NSConfig(
+        ndim=m.ndim, nlive=100, max_samples=8000, precision_criterion=0.05,
+        canon_layout=m.canon_layout(),
+    )
+    t0 = time.perf_counter()
+    res = nested_sample(fwd.loglike_cube, jax.random.PRNGKey(11), cfg)
+    jax.block_until_ready(res.logz)
+    wall = time.perf_counter() - t0
+    diag = insertion_rank_test(res, cfg)
+    # Posterior over the active component count (ncomp dim is index 0; no
+    # free specres/continuum in this model).
+    lo, hi = float(fwd.bounds_lo[0]), float(fwd.bounds_hi[0])
+    k = np.floor(lo + np.asarray(res.samples_u)[:, 0] * (hi - lo)).astype(int)
+    w = np.exp(np.asarray(res.log_posterior_weights, np.float64))
+    mass = {int(kk): float(w[k == kk].sum()) for kk in np.unique(k)}
+    map_ncomp = max(mass, key=mass.get)
+    return {
+        "wall_s": round(wall, 1),
+        "logz": round(float(res.logz), 2),
+        "logzerr": round(float(res.logzerr), 2),
+        "n_like": int(res.n_like),
+        "rank_p": round(diag.p_value, 4),
+        "map_ncomp": map_ncomp,
+        "map_ncomp_mass": round(mass[map_ncomp], 3),
+        "converged": bool(int(res.termination_reason) == 0),
+    }
+
+
 def main():
     import dataclasses
 
@@ -204,6 +273,10 @@ def main():
     # Roofline sample adjacent to the fits (the relay drifts; see
     # _measure_vpu_roofline) -- a second sample happens at the end.
     roofline_a = _measure_vpu_roofline()
+
+    # Secondary workload: HI forest + filler (different transition/grid/
+    # trans-dimensional shape; generality evidence).
+    hi_forest = _hi_forest_fit()
 
     # ---- sustained likelihood throughput vs reference formulation -------
     rng = np.random.default_rng(0)
@@ -346,6 +419,7 @@ def main():
                     "formulation_ratio_deletion_batch": round(
                         ours_eps_small / ref_eps_small, 2
                     ),
+                    "hi_forest": hi_forest,
                     "pallas_fused_vs_xla": pallas_ratio,
                     "num_delete_kevals_per_s": ndel_study,
                     "vmap4_kevals_per_s": round(k4_eps / 1e3),
