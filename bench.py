@@ -324,23 +324,39 @@ def main():
         pallas_ratio[tag] = round(pal_eps / xla_eps, 3)
 
     # ---- num_delete batch-width study (evals/s via real sampler steps) ---
-    ndel_study = {}
-    for ndel in (50, 100, 200):
+    # INTERLEAVED across the three widths (like every other comparison
+    # here): measured sequentially, the relay's throughput drift scrambled
+    # the ratios between bench runs (e.g. 8/25/49 vs 18/59/160 kevals/s
+    # for the same code); interleaving decorrelates the drift so only the
+    # relative batch-width effect remains.
+    def _make_ndel_measure(ndel):
         c2 = NSConfig(
             ndim=model.ndim, nlive=max(cfg.nlive, 2 * ndel),
-            num_delete=ndel, num_repeats=64, max_samples=4000,
+            num_delete=ndel, num_repeats=64, max_samples=60000,
             canon_layout=model.canon_layout(),
         )
         st = init_state(fwd.loglike_cube, jax.random.PRNGKey(0), c2)
         st = run_steps(fwd.loglike_cube, st, c2, 3)  # compile + warm
         jax.block_until_ready(st.logz)
-        n0 = int(st.n_like)
-        t0 = time.perf_counter()
-        st = run_steps(fwd.loglike_cube, st, c2, 10)
-        jax.block_until_ready(st.logz)
-        dt = time.perf_counter() - t0
-        ndel_study[str(ndel)] = round((int(st.n_like) - n0) / dt / 1e3)
-        # kevals/s at this deletion-batch width
+        holder = {"st": st}
+
+        def measure():
+            s0 = holder["st"]
+            n0 = int(s0.n_like)
+            t0 = time.perf_counter()
+            s1 = run_steps(fwd.loglike_cube, s0, c2, 10)
+            jax.block_until_ready(s1.logz)
+            dt = time.perf_counter() - t0
+            holder["st"] = s1
+            return (int(s1.n_like) - n0) / dt
+
+        return measure
+
+    ndel_widths = (50, 100, 200)
+    ndel_rates = _interleaved_best([_make_ndel_measure(n) for n in ndel_widths])
+    ndel_study = {
+        str(n): round(r / 1e3) for n, r in zip(ndel_widths, ndel_rates)
+    }
 
     # ---- occupancy: K vmapped flagship problems on ONE chip --------------
     # Is the chip under-filled at one problem per chip?  Measured honestly:
