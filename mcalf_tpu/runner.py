@@ -235,6 +235,26 @@ def run_fit(
     seed = int(configpars.get("seed", 43))
     ckpt_dir = configpars.get("checkpoint")
     showprogress = bool(configpars.get("showprogress", False))
+    # [ns_settings] auto_repeats: run the repeats LADDER (sampler/repeats.py)
+    # instead of a single fit -- double num_repeats until one doubling moves
+    # the evidence by less than its combined uncertainty with green rank
+    # tests, then report the final rung's 2 seeds birth-merged.  The
+    # automated form of the flagship convergence methodology
+    # (tools/flagship_study.py).
+    auto_repeats = str(
+        configpars.get("ns_settings", {}).get("auto_repeats", "")
+    ).strip().lower() in ("true", "1", "yes")
+    if auto_repeats and dynamic:
+        raise ValueError(
+            "[ns_settings] auto_repeats and dynamic sampling cannot be "
+            "combined (set dynamic = false, or drop auto_repeats)."
+        )
+    if auto_repeats and ckpt_dir:
+        print(
+            "WARNING: [run] checkpoint is not supported with auto_repeats; "
+            "the ladder runs without checkpoints."
+        )
+        ckpt_dir = None
 
     t0 = datetime.datetime.now()
     with phase_timer("nested_sampling"):
@@ -309,6 +329,36 @@ def run_fit(
                     f"[DEBUG]: dynamic boost above lnL={dyn.l_init:.3f}; "
                     f"posterior ESS {posterior_ess(dyn.base.log_posterior_weights):.0f}"
                     f" -> {posterior_ess(dyn.merged.log_posterior_weights):.0f}"
+                )
+        elif auto_repeats:
+            from mcalf_tpu.sampler import converged_sample
+
+            conv = converged_sample(
+                fwd.loglike_cube,
+                jax.random.PRNGKey(seed),
+                cfg,
+                seeds=2,
+                verbose=debug or showprogress,
+            )
+            res = conv.results[0]
+            post = conv.merged
+            logz, logzerr = conv.merged.logz, conv.merged.logzerr
+            unconverged = any(
+                int(r.termination_reason) != 0 for r in conv.results
+            )
+            rungs = [r.num_repeats for r in conv.ladder]
+            if conv.converged:
+                print(
+                    f"auto_repeats: evidence converged at num_repeats="
+                    f"{conv.num_repeats} (ladder {rungs})"
+                )
+            else:
+                print(
+                    "WARNING: auto_repeats ladder budget exhausted at "
+                    f"num_repeats={conv.num_repeats} (ladder {rungs}) "
+                    "without meeting the doubling criterion; treat the "
+                    "evidence as a lower-confidence estimate or raise "
+                    "max_doublings/num_repeats."
                 )
         else:
             res = nested_sample(

@@ -22,6 +22,11 @@ from mcalf_tpu.sampler.dynamic import (
     posterior_ess,
 )
 from mcalf_tpu.sampler.merge import MergedRun, merge_results, nlive_of_logl
+from mcalf_tpu.sampler.repeats import (
+    ConvergedRun,
+    LadderRung,
+    converged_sample,
+)
 from mcalf_tpu.sampler.results import (
     equal_weights_matrix,
     posterior_stats,
@@ -53,4 +58,7 @@ __all__ = [
     "DynamicResults",
     "dynamic_sample",
     "posterior_ess",
+    "ConvergedRun",
+    "LadderRung",
+    "converged_sample",
 ]
