@@ -59,6 +59,15 @@ def main(out_path):
     for k in (8, 9, 10):
         for seed in (43, 44):
             jobs.append((f"fixed{k}", (k, k), 272, 100, seed))
+    # Round-3 additions: the 1088 rung that closes the doubling criterion
+    # (see the pooled-rung analysis in bench.py's LADDER_LIMIT note), and
+    # the async-scheduler re-validation points (tags match the recorded
+    # rows in flagship_study_r03.jsonl).
+    for seed in (43, 44):
+        jobs.append(("ladder1088", (8, 11), 1088, 100, seed))
+    for nr in (544, 272):
+        for seed in (43, 44):
+            jobs.append(("async_sched", (8, 11), nr, 100, seed))
 
     models = {}
     for tag, ncomp, nr, nd, seed in jobs:
