@@ -90,6 +90,30 @@ def test_batch_deletion_consistency():
         assert abs(lz) < max(4 * le, 0.15), outs
 
 
+def test_stepout_bracket_evidence():
+    # The EXPERIMENTAL step-out bracket (NSConfig.bracket="stepout") must
+    # reproduce the analytic evidence like the default chord bracket.  The
+    # window-placement reversibility bug it shipped without (clamping lo
+    # to the chord before deriving hi) biased logZ +0.12 nats on this
+    # battery -- keep a multi-seed mean so a regression of that size
+    # cannot hide in a single run's error bar.
+    ndim, sigma = 4, 0.06
+    norm = -0.5 * ndim * np.log(2 * np.pi * sigma**2)
+
+    def ll(u):
+        r2 = jnp.sum((u - 0.5) ** 2, axis=-1)
+        return (norm - 0.5 * r2 / sigma**2).astype(jnp.float32)
+
+    cfg = NSConfig(ndim=ndim, nlive=100, num_repeats=48, max_samples=4000,
+                   precision_criterion=1e-3, bracket="stepout")
+    zs = [
+        float(nested_sample(ll, jax.random.PRNGKey(s), cfg).logz)
+        for s in range(6)
+    ]
+    # 6-seed mean within ~2.5 SEM of truth 0 (SEM ~0.10 at these settings).
+    assert abs(np.mean(zs)) < 0.27, zs
+
+
 def test_async_pass_scheduling_cost():
     # The slice passes are scheduled asynchronously per chain
     # (sampler/nested.py slice_chains): total likelihood evals per
