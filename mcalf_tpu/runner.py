@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import datetime
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import numpy as np
 
@@ -48,6 +48,77 @@ KNOWN_SOLVERS = (
 )
 
 
+def _as_bool(v, default=False):
+    """Robust settings-boolean: config values arrive as strings, and
+    ``bool("false")`` is True (the reference has exactly this bug on the
+    jaxns ``difficult_model`` key, cli.py:267 -- fixed here per the
+    SURVEY 5.6 policy)."""
+    if isinstance(v, bool):
+        return v
+    if v is None:
+        return default
+    return str(v).strip().lower() in ("true", "1", "yes")
+
+
+#: Recognized keys per settings section.  Everything the reference honors
+#: is either mapped onto the native sampler or accepted as a documented
+#: no-op (PolyChord file-output toggles; see MIGRATION.md).  Any OTHER key
+#: draws a warning -- the reference silently ignores typos
+#: (``num_repeat``), which degrades fits with no trace.
+_KNOWN_SETTINGS = {
+    "pc_settings": {
+        "nlive", "num_repeats", "precision_criterion", "do_clustering",
+        "feedback", "equals", "read_resume", "write_resume", "write_live",
+        "write_dead", "write_prior", "posteriors", "cluster_posteriors",
+        "dynamic_goal",
+    },
+    "mn_settings": {"nlive", "samplingeff", "evidence_tolerance"},
+    "jaxns_settings": {"max_samples", "num_live_points", "difficult_model"},
+    "ns_settings": {
+        "nlive", "num_repeats", "num_delete", "precision_criterion",
+        "max_samples", "difficult_model", "max_clusters", "dynamic",
+        "auto_repeats", "bracket", "stepout_w", "stepout_budget",
+        "boost_start_mass", "boost_nlive", "boost_num_repeats",
+        "boost_max_samples",
+    },
+}
+
+_warned_settings_keys = set()
+
+
+def _warn_unknown_settings(configpars) -> None:
+    """Warn (once per process per key) about unrecognized settings keys in
+    any ``[*_settings]`` section."""
+    for section, known in _KNOWN_SETTINGS.items():
+        for key in configpars.get(section, {}) or {}:
+            if key not in known and (section, key) not in _warned_settings_keys:
+                _warned_settings_keys.add((section, key))
+                print(
+                    f"WARNING: unrecognized key {key!r} in [{section}] is "
+                    f"ignored (known keys: {', '.join(sorted(known))})."
+                )
+
+
+class SolverPlan(NamedTuple):
+    """How a (solver, settings) combination maps onto the native sampler."""
+
+    cfg: "NSConfig"
+    #: equal-weight resample size (0 -> number of valid posterior samples)
+    resample_S: int
+    #: run the two-pass posterior-boost sampler (sampler/dynamic.py)
+    dynamic: bool
+    #: boost-pass NSConfig override (None -> same as cfg)
+    boost_config: Optional["NSConfig"] = None
+    #: posterior-mass threshold seeding the boost pass (dynamic.py)
+    boost_start_mass: float = 0.01
+    #: PolyChord resume semantics (reference cli.py:97-98): resume from /
+    #: write sampler-state checkpoints under ``<chain base>_resume/``
+    read_resume: bool = False
+    write_resume: bool = False
+    #: write a PolyChord/anesthetic-style ``_dead-birth.txt`` file
+    write_dead: bool = False
+
+
 def build_model(configpars: Dict[str, Any], debug: bool = False) -> AbsorptionModel:
     """Instantiate the fit model from a run-params dict (the reference's
     ``als_fitter(...)`` construction, cli.py:73-78)."""
@@ -74,16 +145,15 @@ def build_model(configpars: Dict[str, Any], debug: bool = False) -> AbsorptionMo
     )
 
 
-def solver_nsconfig(
-    configpars: Dict[str, Any], ndim: int
-) -> Tuple[NSConfig, int, bool]:
+def solver_nsconfig(configpars: Dict[str, Any], ndim: int) -> SolverPlan:
     """Map a solver name + its settings section onto the native sampler.
 
-    Returns (NSConfig, resample_S, dynamic).  ``dynamic`` selects the
-    two-pass posterior-boost sampler (sampler/dynamic.py): on by default
-    for solver=dypolychord (its reference role, cli.py:122-158), or forced
-    either way with ``[ns_settings] dynamic``.  Defaults per solver mirror
-    the reference's defaults for that backend:
+    Returns a :class:`SolverPlan`.  ``dynamic`` selects the two-pass
+    posterior-boost sampler (sampler/dynamic.py): on by default for
+    solver=dypolychord (its reference role, cli.py:122-158) AND
+    solver=dynesty (the reference's dynesty is a DynamicNestedSampler,
+    cli.py:196), or forced either way with ``[ns_settings] dynamic``.
+    Defaults per solver mirror the reference's defaults for that backend:
     * polychord/dypolychord: nlive=100, precision 1e-3 (cli.py:91-93).
       num_repeats, when not set in [pc_settings]/[ns_settings], uses the
       CALIBRATED default (12*ndim, NSConfig.resolved) rather than
@@ -93,26 +163,38 @@ def solver_nsconfig(
       it would replicate a bias, the same policy as the SURVEY 5.6
       config bugs we deliberately fix.  The asynchronous pass scheduler
       makes 12*ndim cost about what 5*ndim used to.
-    * multinest: nlive=1000, evidence_tolerance=0.1 (cli.py:170-182)
-    * dynesty: nlive=500 (dynesty's default)
+      ``read_resume``/``write_resume`` (reference defaults True when the
+      section exists, cli.py:97-98) map onto the sampler-state checkpoint
+      machinery; ``dynamic_goal`` (the dyPolyChord knob, cli.py:135-156)
+      maps onto ``boost_start_mass = 0.01 * goal`` (goal=1 reproduces the
+      posterior-focused default; goal=0 reruns from the prior, the
+      evidence-focused limit).  The remaining PolyChord file-output
+      toggles (feedback, equals, write_live/prior, posteriors,
+      cluster_posteriors) are accepted no-ops -- our chain files are
+      always written -- except ``write_dead``, which emits an
+      anesthetic-compatible ``_dead-birth.txt``.
+    * multinest: nlive=1000, evidence_tolerance=0.1 (cli.py:170-182);
+      ``samplingeff`` is accepted (rejection-efficiency knob with no slice
+      analogue).
+    * dynesty: nlive=500 (dynesty's default), dynamic=True
     * jaxns: nlive=500, max_samples=1e5, difficult_model=False
       (cli.py:259)
+    Unknown keys in any settings section draw a warning
+    (:func:`_warn_unknown_settings`).
     """
     solver = configpars.get("solver", "polychord")
     if solver not in KNOWN_SOLVERS:
         raise ValueError(
             f"Requested solver {solver!r} not implemented; known: {KNOWN_SOLVERS}"
         )
+    _warn_unknown_settings(configpars)
 
     nlive, num_repeats, precision = 100, 0, 1e-3
     max_samples, difficult = 20000, False
     num_delete = 0
     max_clusters = 8  # PolyChord default do_clustering=True (cli.py:95)
-
-    def _as_bool(v, default):
-        if isinstance(v, bool):
-            return v
-        return str(v).strip().lower() in ("true", "1", "yes")
+    read_resume = write_resume = write_dead = False
+    boost_start_mass = 0.01
 
     if solver in ("polychord", "dypolychord"):
         s = configpars.get("pc_settings", {})
@@ -121,6 +203,14 @@ def solver_nsconfig(
         precision = float(s.get("precision_criterion", 1e-3))
         if not _as_bool(s.get("do_clustering", True), True):
             max_clusters = 1
+        if s:
+            # Reference defaults these True whenever [pc_settings] exists
+            # (cli.py:97-99); an absent section keeps them off.
+            read_resume = _as_bool(s.get("read_resume", True), True)
+            write_resume = _as_bool(s.get("write_resume", True), True)
+            write_dead = _as_bool(s.get("write_dead", True), True)
+        if "dynamic_goal" in s:
+            boost_start_mass = 0.01 * float(s["dynamic_goal"])
     elif solver == "multinest":
         s = configpars.get("mn_settings", {})
         nlive = int(s.get("nlive", 1000))
@@ -131,7 +221,7 @@ def solver_nsconfig(
         s = configpars.get("jaxns_settings", {})
         max_samples = int(float(s.get("max_samples", 1e5)))
         nlive = int(s.get("num_live_points", 500))
-        difficult = bool(s.get("difficult_model", False))
+        difficult = _as_bool(s.get("difficult_model", False))
 
     # Native overrides apply on top for any solver.
     s = configpars.get("ns_settings", {})
@@ -140,9 +230,15 @@ def solver_nsconfig(
     num_delete = int(s.get("num_delete", num_delete))
     precision = float(s.get("precision_criterion", precision))
     max_samples = int(float(s.get("max_samples", max_samples)))
-    difficult = bool(s.get("difficult_model", difficult))
+    difficult = _as_bool(s.get("difficult_model", difficult))
     max_clusters = int(s.get("max_clusters", max_clusters))
-    dynamic = _as_bool(s.get("dynamic", solver == "dypolychord"), False)
+    bracket = str(s.get("bracket", "chord"))
+    stepout_w = float(s.get("stepout_w", 2.0))
+    stepout_budget = int(s.get("stepout_budget", 16))
+    dynamic = _as_bool(
+        s.get("dynamic", solver in ("dypolychord", "dynesty")), False
+    )
+    boost_start_mass = float(s.get("boost_start_mass", boost_start_mass))
 
     cfg = NSConfig(
         ndim=ndim,
@@ -153,9 +249,35 @@ def solver_nsconfig(
         max_samples=max_samples,
         difficult_model=difficult,
         max_clusters=max_clusters,
+        bracket=bracket,
+        stepout_w=stepout_w,
+        stepout_budget=stepout_budget,
     )
+    # Boost-pass overrides ([ns_settings] boost_*): tune the posterior-boost
+    # run independently of the base run (dyPolyChord's dynamic allocation
+    # knobs, reference cli.py:151-156, as explicit settings).
+    boost_config = None
+    boost_keys = ("boost_nlive", "boost_num_repeats", "boost_max_samples")
+    if any(k in s for k in boost_keys):
+        import dataclasses
+
+        boost_config = dataclasses.replace(
+            cfg,
+            nlive=int(s.get("boost_nlive", nlive)),
+            num_repeats=int(s.get("boost_num_repeats", num_repeats)),
+            max_samples=int(float(s.get("boost_max_samples", max_samples))),
+        )
     resample_S = max_samples if solver == "jaxns" else 0  # 0 -> use n_dead
-    return cfg, resample_S, dynamic
+    return SolverPlan(
+        cfg=cfg,
+        resample_S=resample_S,
+        dynamic=dynamic,
+        boost_config=boost_config,
+        boost_start_mass=boost_start_mass,
+        read_resume=read_resume,
+        write_resume=write_resume,
+        write_dead=write_dead,
+    )
 
 
 def chain_basename(configpars: Dict[str, Any]) -> str:
@@ -196,7 +318,18 @@ def run_fit(
     if model is None:
         model = build_model(configpars, debug=debug)
     fwd = make_jax_forward(model, gpriors=model.gpriors is not None)
-    cfg, resample_S, dynamic = solver_nsconfig(configpars, model.ndim)
+    plan = solver_nsconfig(configpars, model.ndim)
+    cfg, resample_S, dynamic = plan.cfg, plan.resample_S, plan.dynamic
+    if cfg.num_repeats == 0:
+        # The calibrated default differs from PolyChord's (see
+        # solver_nsconfig); say so once per fit so the cost change at high
+        # ndim is never silent (MIGRATION.md documents the calibration).
+        r = cfg.resolved()
+        print(
+            f"num_repeats unset -> calibrated default {r.num_repeats} "
+            f"(= {'24' if cfg.difficult_model else '12'}*ndim at ndim="
+            f"{model.ndim}); set [ns_settings] num_repeats to override."
+        )
     layout = model.canon_layout()
     if layout is not None:
         # Label-symmetry gauge fixing (see NSConfig.canon_layout): collapses
@@ -234,6 +367,14 @@ def run_fit(
 
     seed = int(configpars.get("seed", 43))
     ckpt_dir = configpars.get("checkpoint")
+    # An explicit [run] checkpoint dir both reads and writes.  Without one,
+    # the PolyChord resume keys (reference cli.py:97-98) drive the same
+    # machinery under <chain base>_resume/: write_resume saves rolling
+    # sampler-state checkpoints, read_resume resumes from them.
+    ckpt_read = ckpt_write = ckpt_dir is not None
+    if ckpt_dir is None and (plan.read_resume or plan.write_resume):
+        ckpt_dir = chain_basename(configpars) + "_resume"
+        ckpt_read, ckpt_write = plan.read_resume, plan.write_resume
     showprogress = bool(configpars.get("showprogress", False))
     # [ns_settings] auto_repeats: run the repeats LADDER (sampler/repeats.py)
     # instead of a single fit -- double num_repeats until one doubling moves
@@ -251,10 +392,11 @@ def run_fit(
         )
     if auto_repeats and ckpt_dir:
         print(
-            "WARNING: [run] checkpoint is not supported with auto_repeats; "
-            "the ladder runs without checkpoints."
+            "WARNING: checkpoints/resume are not supported with "
+            "auto_repeats; the ladder runs without them."
         )
         ckpt_dir = None
+        ckpt_read = ckpt_write = False
 
     t0 = datetime.datetime.now()
     with phase_timer("nested_sampling"):
@@ -264,7 +406,7 @@ def run_fit(
         state = None
         boost_state = None
         fp = problem_fingerprint(model, cfg, seed) if ckpt_dir else None
-        if ckpt_dir:
+        if ckpt_read:
             prev = latest_checkpoint(ckpt_dir)
             if prev is not None:
                 # The fingerprint check refuses checkpoints from a different
@@ -285,7 +427,7 @@ def run_fit(
                         f"  {tag}step {int(s.step):5d}  n_dead={int(s.n_dead):6d}"
                         f"  logZ={float(s.logz):.3f}  logX={float(s.logx):.2f}"
                     )
-                if ckpt_dir:
+                if ckpt_write:
                     save_state(
                         os.path.join(
                             ckpt_dir, f"{prefix}_{int(s.step):06d}.npz"
@@ -297,7 +439,7 @@ def run_fit(
 
             return on_chunk
 
-        want_cb = bool(ckpt_dir or showprogress)
+        want_cb = bool(ckpt_write or showprogress)
         if dynamic:
             # Two-pass posterior-boost sampling (sampler/dynamic.py) -- the
             # dyPolyChord analogue.  Both passes checkpoint and report
@@ -310,6 +452,8 @@ def run_fit(
                 fwd.loglike_cube,
                 jax.random.PRNGKey(seed),
                 cfg,
+                boost_config=plan.boost_config,
+                boost_start_mass=plan.boost_start_mass,
                 base_state=state,
                 boost_state=boost_state,
                 on_chunk_base=make_on_chunk("ns_state") if want_cb else None,
@@ -391,7 +535,20 @@ def run_fit(
     runs_to_check = [("", res)]
     if dynamic:
         runs_to_check.append(("boost ", dyn.boost))
+    elif auto_repeats:
+        # Every ladder seed feeds the merged evidence, so every one gets a
+        # recorded verdict (not just the first).
+        runs_to_check = [
+            (f"seed{i} ", r) for i, r in enumerate(conv.results)
+        ]
     stats_extra = []
+    if auto_repeats:
+        stats_extra.append(
+            f"auto_repeats ladder converged={conv.converged} "
+            f"(rungs {[r.num_repeats for r in conv.ladder]}, "
+            f"final num_repeats={conv.num_repeats})"
+            + ("" if conv.converged else "  ** BUDGET EXHAUSTED **")
+        )
     for tag, r in runs_to_check:
         diag = insertion_rank_test(r, cfg)
         line = (
@@ -415,6 +572,8 @@ def run_fit(
     os.makedirs(configpars["chaindir"], exist_ok=True)
     base = chain_basename(configpars)
     write_stats(base + ".stats", float(logz), float(logzerr), stats_extra)
+    if plan.write_dead:
+        _write_dead_birth(base + "_dead-birth.txt", fwd, res)
 
     if debug and cfg.max_clusters > 1:
         # Per-mode posterior readout (the MultiNest multimodal-summary
@@ -451,6 +610,24 @@ def run_fit(
     write_equal_weights(base + "_equal_weights.txt", matrix)
     print(f"Saved results to {base}_equal_weights.txt")
     return res, base
+
+
+def _write_dead_birth(path, fwd, res):
+    """PolyChord-format ``_dead-birth.txt`` (the reference's ``write_dead``
+    passthrough output, cli.py:100): one row per dead point -- physical
+    parameters, logL, birth-contour logL -- the file anesthetic's
+    ``read_polychord`` consumes, so downstream nested-sampling tooling
+    works on our chains unchanged.  Prior-born points get PolyChord's
+    -1e30 birth sentinel instead of -inf."""
+    logw = np.asarray(res.logw, np.float64)
+    valid = np.isfinite(logw)
+    params = np.asarray(
+        fwd.cube_to_params(np.asarray(res.samples_u)[valid]), np.float64
+    )
+    logl = np.asarray(res.logl, np.float64)[valid]
+    birth = np.asarray(res.birth_logl, np.float64)[valid]
+    birth = np.where(np.isfinite(birth), birth, -1e30)
+    np.savetxt(path, np.column_stack([params, logl, birth]))
 
 
 def _write_chain_files(base, fwd, post, resample_S, extra_lines=()):
@@ -593,7 +770,7 @@ def _run_ncomp_grid(configpars, debug=False):
         res, kbase = run_fit(sub, debug=debug)
         rows.append(
             (k, float(np.asarray(res.logz)), float(np.asarray(res.logzerr)),
-             kbase)
+             kbase, res)
         )
 
     logzs = np.array([r[1] for r in rows])
@@ -604,7 +781,7 @@ def _run_ncomp_grid(configpars, debug=False):
     table = base + "_ncomp_grid.txt"
     with open(table, "w") as f:
         f.write("# k  logZ  logZerr  dlogZ_vs_best\n")
-        for k, lz, le, _ in rows:
+        for k, lz, le, _, _res in rows:
             f.write(f"{k}  {lz:.4f}  {le:.4f}  {lz - logzs[best]:+.4f}\n")
         f.write(
             f"# best k = {rows[best][0]}; trans-dimensional evidence "
@@ -616,7 +793,10 @@ def _run_ncomp_grid(configpars, debug=False):
         src = rows[best][3] + suffix
         if os.path.exists(src):
             shutil.copyfile(src, base + suffix)
-    return rows[best][0], base
+    # Return the best-k RESULTS (not the bare k): run_fit declares
+    # Tuple[NSResults, str] and programmatic callers rely on it.  The
+    # selected k is recoverable from the table / `_k<k>` chain files.
+    return rows[best][4], base
 
 
 def spectrum_subconfigs(configpars: Dict[str, Any]):
@@ -662,8 +842,10 @@ def _run_spectrum_fleet(configpars, debug=False):
     subs = spectrum_subconfigs(configpars)
     ndev = len(jax.devices())
     plain = not configpars.get("seeds") and not configpars.get("ncomp_grid")
-    cfg_probe, resample_S, dynamic = solver_nsconfig(configpars, 1)
-    use_mesh = plain and not dynamic and ndev > 1 and len(subs) % ndev == 0
+    probe = solver_nsconfig(configpars, 1)
+    use_mesh = (
+        plain and not probe.dynamic and ndev > 1 and len(subs) % ndev == 0
+    )
 
     if use_mesh:
         try:
@@ -674,7 +856,8 @@ def _run_spectrum_fleet(configpars, debug=False):
             models = [build_model(s, debug=debug) for s in subs]
             npix = max(m.npix for m in models)
             padded = [pad_model_to_npix(m, npix) for m in models]
-            cfg, resample_S, _ = solver_nsconfig(configpars, models[0].ndim)
+            fleet_plan = solver_nsconfig(configpars, models[0].ndim)
+            cfg, resample_S = fleet_plan.cfg, fleet_plan.resample_S
             if debug:
                 print(
                     f"[DEBUG]: sharding {len(subs)} spectra over {ndev} "

@@ -76,7 +76,7 @@ class NSConfig:
     #: amortize the per-step whitening/argsort and keep the VPU batch full.
     num_delete: int = 0  # 0 -> nlive // 2
     #: slice-sampling passes per replacement (decorrelation length)
-    num_repeats: int = 0  # 0 -> 2 * ndim (8 * ndim under difficult_model)
+    num_repeats: int = 0  # 0 -> 12 * ndim (24 * ndim under difficult_model)
     #: stop when Z_live / Z < precision_criterion
     precision_criterion: float = 1e-3
     #: cap on collected dead points (static buffer size)
@@ -132,7 +132,9 @@ class NSConfig:
     bracket: str = "chord"
     #: step-out initial width in whitened t-units (|d| ~ survivor spread)
     stepout_w: float = 2.0
-    #: step-out max total expansions per pass (random lo/hi split)
+    #: step-out expansion budget m per pass: Neal's J ~ U{0..m-1} goes to
+    #: the low end and K = m-1-J to the high end, so at most m-1 total
+    #: expansion steps happen (J + K = m - 1, Neal 2003 fig. 3)
     stepout_budget: int = 16
     #: live-point mode clustering (PolyChord ``do_clustering`` role,
     #: reference cli.py:95; MultiNest is multimodal by construction,
@@ -851,12 +853,20 @@ def _slice_chains_stepout(
     return out[0], out[1], out[12], out[13]
 
 
-@partial(jax.jit, static_argnums=(0, 2, 3))
-def run_steps(loglike_batch, state: NSState, config: NSConfig, num_steps: int) -> NSState:
+@partial(jax.jit, static_argnums=(0, 2))
+def run_steps(loglike_batch, state: NSState, config: NSConfig, num_steps) -> NSState:
     """Advance the sampler until termination or ``num_steps`` further outer
-    steps (a *static* budget; chunked stepping enables host-side
-    checkpointing / progress reports)."""
+    steps (chunked stepping enables host-side checkpointing / progress
+    reports).
+
+    ``num_steps`` is a TRACED scalar, not part of the jit key: the chunk
+    auto-tuner re-sizes chunks throughout a run (per-step cost grows as the
+    constrained region tightens), and a static budget compiled one
+    executable per distinct size -- measured 4-6 compiles x ~10 s on the
+    flagship fit, a large fraction of its wall-clock.  One executable
+    serves every chunk size (and every later fit of the same shape)."""
     cfg = config.resolved()
+    num_steps = jnp.asarray(num_steps, jnp.int32)
     ndim, nlive, B = cfg.ndim, cfg.nlive, cfg.num_delete
     cap = int(cfg.max_samples)
     f32 = jnp.float32

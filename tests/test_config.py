@@ -63,21 +63,128 @@ def test_mandatory_keys(tmp_path):
 
 def test_solver_mapping(testdata_dir):
     cfg = readconfig(f"{testdata_dir}/fit.cfg")
-    ns, S, _ = solver_nsconfig(cfg, ndim=34)
+    plan = solver_nsconfig(cfg, ndim=34)
+    ns = plan.cfg
     # jaxns settings from fit.cfg: max_samples=2000, nlive=200, difficult.
     assert ns.nlive == 200
     assert ns.max_samples == 2000
     assert ns.difficult_model is True
-    assert S == 2000
+    assert plan.resample_S == 2000
     # polychord mapping picks up pc_settings.
     cfg2 = dict(cfg, solver="polychord")
-    ns2, S2, _ = solver_nsconfig(cfg2, ndim=34)
-    assert ns2.nlive == 150
-    assert ns2.num_repeats == 25
-    assert ns2.precision_criterion == 0.01
-    assert S2 == 0
+    plan2 = solver_nsconfig(cfg2, ndim=34)
+    assert plan2.cfg.nlive == 150
+    assert plan2.cfg.num_repeats == 25
+    assert plan2.cfg.precision_criterion == 0.01
+    assert plan2.resample_S == 0
+    # The reference's shipped fit.cfg sets the resume keys False
+    # (testdata/fit.cfg:53-54) -- they must be honored, not dropped.
+    assert plan2.read_resume is False
+    assert plan2.write_resume is False
     with pytest.raises(ValueError):
         solver_nsconfig(dict(cfg, solver="emcee"), ndim=4)
+
+
+def test_pc_resume_defaults_and_write_dead():
+    # Reference defaults read/write_resume True whenever [pc_settings]
+    # exists (cli.py:97-98); absent section keeps them off.
+    plan = solver_nsconfig(
+        {"solver": "polychord", "pc_settings": {"nlive": "50"}}, ndim=4
+    )
+    assert plan.read_resume and plan.write_resume and plan.write_dead
+    plan = solver_nsconfig({"solver": "polychord"}, ndim=4)
+    assert not plan.read_resume and not plan.write_resume
+    plan = solver_nsconfig(
+        {
+            "solver": "polychord",
+            "pc_settings": {
+                "read_resume": "False",
+                "write_resume": "false",
+                "write_dead": False,
+            },
+        },
+        ndim=4,
+    )
+    assert not plan.read_resume and not plan.write_resume
+    assert not plan.write_dead
+
+
+def test_settings_bools_accept_lowercase_strings():
+    # configparser hands settings values through as raw strings;
+    # bool("false") is True, so the mapping must parse, not cast
+    # (the reference has exactly this bug on jaxns difficult_model).
+    plan = solver_nsconfig(
+        {"solver": "jaxns", "jaxns_settings": {"difficult_model": "false"}},
+        ndim=4,
+    )
+    assert plan.cfg.difficult_model is False
+    plan = solver_nsconfig(
+        {"solver": "jaxns", "jaxns_settings": {"difficult_model": "true"}},
+        ndim=4,
+    )
+    assert plan.cfg.difficult_model is True
+    plan = solver_nsconfig(
+        {"solver": "ns", "ns_settings": {"difficult_model": "false"}}, ndim=4
+    )
+    assert plan.cfg.difficult_model is False
+
+
+def test_unknown_settings_key_warns(capsys):
+    import mcalf_tpu.runner as runner
+
+    runner._warned_settings_keys.clear()
+    solver_nsconfig(
+        {
+            "solver": "polychord",
+            "pc_settings": {"num_repeat": "20"},  # typo: num_repeats
+            "ns_settings": {"nlive": "100"},
+        },
+        ndim=4,
+    )
+    out = capsys.readouterr().out
+    assert "unrecognized key 'num_repeat' in [pc_settings]" in out
+    # known keys never warn
+    assert "nlive" not in [
+        k for (_, k) in runner._warned_settings_keys
+    ]
+    # warning is once-per-process, not per call
+    solver_nsconfig(
+        {"solver": "polychord", "pc_settings": {"num_repeat": "20"}}, ndim=4
+    )
+    assert "num_repeat" not in capsys.readouterr().out
+
+
+def test_ns_settings_boost_and_bracket_knobs():
+    plan = solver_nsconfig(
+        {
+            "solver": "dypolychord",
+            "ns_settings": {
+                "nlive": "80",
+                "boost_nlive": "160",
+                "boost_num_repeats": "24",
+                "boost_start_mass": "0.05",
+                "bracket": "stepout",
+                "stepout_w": "1.5",
+                "stepout_budget": "8",
+            },
+        },
+        ndim=4,
+    )
+    assert plan.dynamic
+    assert plan.boost_start_mass == 0.05
+    assert plan.boost_config is not None
+    assert plan.boost_config.nlive == 160
+    assert plan.boost_config.num_repeats == 24
+    assert plan.cfg.nlive == 80
+    assert plan.cfg.bracket == "stepout"
+    assert plan.cfg.stepout_w == 1.5
+    assert plan.cfg.stepout_budget == 8
+    # dynamic_goal (reference cli.py:135-156) maps onto boost_start_mass
+    plan = solver_nsconfig(
+        {"solver": "dypolychord", "pc_settings": {"dynamic_goal": "0.25"}},
+        ndim=4,
+    )
+    assert plan.boost_start_mass == pytest.approx(0.0025)
 
 
 def test_specfile_list_and_glob(tmp_path):

@@ -117,15 +117,17 @@ def test_merged_logzerr_calibrated_against_repeat_scatter():
 
 
 def test_dypolychord_solver_maps_to_dynamic():
-    cfg, _, dynamic = solver_nsconfig({"solver": "dypolychord"}, ndim=4)
-    assert dynamic
-    cfg, _, dynamic = solver_nsconfig({"solver": "polychord"}, ndim=4)
-    assert not dynamic
-    cfg, _, dynamic = solver_nsconfig(
+    assert solver_nsconfig({"solver": "dypolychord"}, ndim=4).dynamic
+    assert not solver_nsconfig({"solver": "polychord"}, ndim=4).dynamic
+    assert solver_nsconfig(
         {"solver": "polychord", "ns_settings": {"dynamic": "True"}}, ndim=4
-    )
-    assert dynamic
-    cfg, _, dynamic = solver_nsconfig(
+    ).dynamic
+    assert not solver_nsconfig(
         {"solver": "dypolychord", "ns_settings": {"dynamic": "false"}}, ndim=4
-    )
-    assert not dynamic
+    ).dynamic
+    # dynesty's reference role is a DynamicNestedSampler (cli.py:196), so
+    # it routes to the dynamic sampler by default too.
+    assert solver_nsconfig({"solver": "dynesty"}, ndim=4).dynamic
+    assert not solver_nsconfig(
+        {"solver": "dynesty", "ns_settings": {"dynamic": "false"}}, ndim=4
+    ).dynamic

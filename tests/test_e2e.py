@@ -377,17 +377,27 @@ max_samples = 2500
 precision_criterion = 0.01
 """
     )
-    rc = main([str(cfg)])
-    assert rc == 0
+    # Drive the runner directly (the CLI wraps it) so the declared
+    # Tuple[NSResults, str] return contract is asserted too.
+    from mcalf_tpu.config import readconfig
+    from mcalf_tpu.runner import run_fit
+    from mcalf_tpu.sampler import NSResults
+
+    res, base = run_fit(readconfig(str(cfg)))
+    assert isinstance(res, NSResults)  # the BEST-k results, not a bare int
     fits = tmp_path / "fits"
+    assert base == str(fits / "grid_0")
     table = (fits / "grid_0_ncomp_grid.txt").read_text()
     assert "best k = 1" in table, table  # the mock is a single component
     for k in (1, 2):
         assert os.path.exists(fits / f"grid_0_k{k}.stats")
-    # best-k chains copied to the base name
+    # best-k chains copied to the base name; returned results match them
     lnz, err = read_stats(str(fits / "grid_0.stats"))
     lnz1, _ = read_stats(str(fits / "grid_0_k1.stats"))
     assert lnz == lnz1
+    assert lnz == float(np.round(np.asarray(res.logz, np.float64), 6)) or abs(
+        lnz - float(res.logz)
+    ) < 1e-4
 
 
 def test_refit_with_dofit_false_reuses_chains(e2e_outputs, testdata_dir, capsys):
@@ -636,3 +646,80 @@ auto_repeats = true
     # (generous bound -- nlive=60 quoted err ~0.55, 2-seed merge).
     assert abs(lnz - 4983.62) < 2.5, lnz
     assert 0 < err < 1.0
+
+
+def test_pc_settings_resume_surface(tmp_path, testdata_dir, capsys,
+                                    monkeypatch):
+    # The reference honors read_resume/write_resume from [pc_settings]
+    # (cli.py:97-98, exercised by its shipped testdata/fit.cfg:53-54); ours
+    # maps them onto the sampler-state checkpoint machinery under
+    # <chain base>_resume/, and write_dead emits the PolyChord/anesthetic
+    # _dead-birth.txt.
+    monkeypatch.setenv("MCALF_TPU_NS_CHUNK", "4")
+    cfg = tmp_path / "fit.cfg"
+    cfg.write_text(
+        f"""
+[input]
+specfile = civ_mock_spec.txt
+wavefit = 6180,6220
+linelist = CIV 1548, CIV 1550
+coldef = Wave, Flux, Err
+solver = polychord
+specres = 8.0
+
+[pathing]
+datadir = {testdata_dir}/
+outdir = {tmp_path}/
+chainfmt = pcres_{{0}}
+
+[components]
+ncomp = 1,1
+contval = 1
+Nrange = 12.0,14.5
+brange = 10.0, 40.0
+zrange = 2.99, 3.01
+
+[run]
+dofit = True
+doplot = False
+
+[pc_settings]
+nlive = 60
+num_repeats = 24
+precision_criterion = 0.01
+read_resume = True
+write_resume = True
+
+[ns_settings]
+max_samples = 2500
+"""
+    )
+    rc = main([str(cfg)])
+    assert rc == 0
+    fits = tmp_path / "fits"
+    resume_dir = fits / "pcres_0_resume"
+    assert any(resume_dir.glob("ns_state_*.npz")), "write_resume wrote nothing"
+    stats0 = (fits / "pcres_0.stats").read_bytes()
+    # write_dead defaults True when [pc_settings] exists (reference
+    # cli.py:100): params + logL + birth logL per dead point.
+    dead = np.loadtxt(fits / "pcres_0_dead-birth.txt")
+    assert dead.shape[1] == 4 + 2  # ndim=4 params, logl, birth
+    assert np.all(dead[:, -1] <= dead[:, -2])  # birth contour below logl
+    assert np.any(dead[:, -1] == -1e30)  # prior-born points sentinel
+
+    # Re-invocation resumes from the (terminal) checkpoint instead of
+    # refitting, and reproduces the chain files bit-identically.
+    capsys.readouterr()
+    rc = main([str(cfg)])
+    assert rc == 0
+    assert "Resuming from checkpoint" in capsys.readouterr().out
+    assert (fits / "pcres_0.stats").read_bytes() == stats0
+
+    # read_resume=False ignores the checkpoints (fresh fit, no resume line).
+    cfg2 = tmp_path / "fit2.cfg"
+    cfg2.write_text(
+        cfg.read_text().replace("read_resume = True", "read_resume = False")
+    )
+    rc = main([str(cfg2)])
+    assert rc == 0
+    assert "Resuming from checkpoint" not in capsys.readouterr().out

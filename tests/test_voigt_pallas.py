@@ -235,3 +235,47 @@ def test_make_jax_forward_pallas_integration(testdata_dir):
     la = np.asarray(f_ref.loglike_cube(u))
     lb = np.asarray(f_pal.loglike_cube(u))
     assert np.allclose(la, lb, rtol=1e-5, atol=0.05)
+
+
+def test_resolve_use_pallas_non_tpu_auto_fallback(testdata_dir, monkeypatch):
+    # The reference claims GPU support (README.md:5); our GPU path is the
+    # plain XLA likelihood with the fused Pallas kernel auto-disabled.
+    # Simulate a non-TPU accelerator (pallas_supported() False -- GPU and
+    # CPU look identical to this policy) and check 'auto' falls back to a
+    # working XLA path; on a TPU-like backend 'auto' enables the compiled
+    # (non-interpret) kernel.
+    import jax
+    import mcalf_tpu.models.jax_model as jm
+    import mcalf_tpu.ops.voigt_pallas as vp
+    from mcalf_tpu.models.jax_model import make_jax_forward, resolve_use_pallas
+
+    monkeypatch.delenv("MCALF_TPU_PALLAS", raising=False)
+    m = AbsorptionModel.from_file(
+        f"{testdata_dir}/civ_mock_spec.txt",
+        fitrange=[(6180.0, 6220.0)],
+        fitlines=["CIV 1548", "CIV 1550"],
+        ncomp=(1, 1),
+        specres=[8.0],
+        zrange=[2.99, 3.01],
+    )
+
+    monkeypatch.setattr(vp, "pallas_supported", lambda: False)  # GPU-like
+    enabled, interpret = resolve_use_pallas(m, "auto")
+    assert enabled is False and interpret is False
+    fwd = make_jax_forward(m, use_pallas="auto")
+    assert fwd.static.use_pallas is False
+    u = jnp.full((3, m.ndim), 0.5, jnp.float32)
+    ll = np.asarray(fwd.loglike_cube(u))
+    assert np.all(np.isfinite(ll))
+    # Forcing use_pallas=True off-TPU routes through interpret mode (the
+    # test escape hatch), never a hard failure.
+    enabled, interpret = resolve_use_pallas(m, True)
+    assert enabled is True and interpret is True
+
+    monkeypatch.setattr(vp, "pallas_supported", lambda: True)  # TPU-like
+    enabled, interpret = resolve_use_pallas(m, "auto")
+    assert enabled is True and interpret is False
+    # The env var overrides the policy either way.
+    monkeypatch.setenv("MCALF_TPU_PALLAS", "0")
+    enabled, _ = resolve_use_pallas(m, "auto")
+    assert enabled is False

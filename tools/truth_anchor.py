@@ -3,8 +3,9 @@ sys.path.insert(0, "/root/repo")
 import numpy as np, jax, jax.numpy as jnp
 from mcalf_tpu.models import AbsorptionModel, make_jax_forward
 
+specfile = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata/civ_mock_spec.txt"
 model = AbsorptionModel.from_file(
-    "/root/repo/testdata/civ_mock_spec.txt",
+    specfile,
     fitrange=[(6180.0, 6220.0)], fitlines=["CIV 1548", "CIV 1550"],
     ncomp=(1, 1), specres=[8.0],
     Nrange=[12.0, 14.5], brange=[10.0, 40.0], zrange=[2.99, 3.01],
@@ -42,3 +43,18 @@ I = np.einsum("i,j,k,ijk->", tw(uNf), tw(uzf), tw(ubf), w)
 print(f"cube quadrature logZ = {m + np.log(I):.4f}   (peak ll {llf.max():.3f})")
 edge = max(w[0].max(), w[-1].max(), w[:,0,:].max(), w[:,-1,:].max(), w[:,:,0].max(), w[:,:,-1].max())
 print(f"max edge weight: {edge:.2e}")
+
+# Posterior moments (quadrature): E[x], sd[x] per dimension, in PHYSICAL
+# units, anchoring the sampler's posterior (not just its evidence).
+wN = tw(uNf); wz = tw(uzf); wb = tw(ubf)
+W = np.einsum("i,j,k,ijk->ijk", wN, wz, wb, w)
+W /= W.sum()
+lo = np.asarray(model.bounds_lo, np.float64)
+hi = np.asarray(model.bounds_hi, np.float64)
+for name, axis, grid, d in (("N", 0, uNf, 1), ("z", 1, uzf, 2), ("b", 2, ubf, 3)):
+    marg = W.sum(axis=tuple(a for a in range(3) if a != axis))
+    mu_u = float((grid * marg).sum())
+    sd_u = float(np.sqrt(((grid - mu_u) ** 2 * marg).sum()))
+    mu = lo[d] + mu_u * (hi[d] - lo[d])
+    sd = sd_u * (hi[d] - lo[d])
+    print(f"posterior {name}: mean = {mu:.6f}  sd = {sd:.6f}")
