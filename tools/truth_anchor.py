@@ -57,4 +57,4 @@ for name, axis, grid, d in (("N", 0, uNf, 1), ("z", 1, uzf, 2), ("b", 2, ubf, 3)
     sd_u = float(np.sqrt(((grid - mu_u) ** 2 * marg).sum()))
     mu = lo[d] + mu_u * (hi[d] - lo[d])
     sd = sd_u * (hi[d] - lo[d])
-    print(f"posterior {name}: mean = {mu:.6f}  sd = {sd:.6f}")
+    print(f"posterior {name}: mean = {mu:.8f}  sd = {sd:.8f}")
