@@ -36,6 +36,20 @@ def main(argv=None) -> int:
     os.makedirs(configpars["chaindir"], exist_ok=True)
     os.makedirs(configpars["plotdir"], exist_ok=True)
 
+    # Persistent executable cache (config extension ``[run] compile_cache``
+    # or the MCALF_TPU_COMPILE_CACHE env var): repeat fits of the same
+    # model shape skip XLA recompilation -- roughly half of a cold
+    # flagship fit's wall-clock (utils/compile_cache.py).  Must run before
+    # the first jax compile, hence before the heavy imports below.
+    if configpars.get("compile_cache") or os.environ.get(
+        "MCALF_TPU_COMPILE_CACHE"
+    ):
+        from mcalf_tpu.utils.compile_cache import enable_compile_cache
+
+        resolved = enable_compile_cache(configpars.get("compile_cache"))
+        if args.debug and resolved:
+            print(f"[DEBUG]: persistent compile cache at {resolved}")
+
     # Heavy imports after arg parsing so --help/--version stay fast.
     from mcalf_tpu.runner import build_model, run_fit, spectrum_subconfigs
     from mcalf_tpu.plotting import run_plot

@@ -121,6 +121,10 @@ def readconfig(configfile: str) -> Dict[str, Any]:
     device = get("run", "device", "default")
     seed = get("run", "seed", 43, int)
     checkpoint = get("run", "checkpoint", None)
+    # Persistent XLA-executable cache directory ('off' disables; see
+    # utils/compile_cache.py).  Config extension: the reference recompiles
+    # its jaxns path every run.
+    compile_cache = get("run", "compile_cache", None)
     # Fleet extensions (SURVEY.md section 2.3 "(spectrum x ncomp-candidate x
     # seed) fits across chips"):
     # * ``seeds = 43,44,45``: fit every seed (sharded over the mesh when it
@@ -180,6 +184,7 @@ def readconfig(configfile: str) -> Dict[str, Any]:
         "device": device,
         "seed": seed,
         "checkpoint": checkpoint,
+        "compile_cache": compile_cache,
         "seeds": seeds,
         "ncomp_grid": ncomp_grid,
     }

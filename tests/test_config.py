@@ -225,3 +225,38 @@ datadir = {tmp_path}/
     pars = readconfig(str(cfg))
     assert pars["specfiles"] == [pars["specfile"]]
     assert pars["specfile"].endswith("one.txt")
+
+
+def test_compile_cache_surface(tmp_path):
+    # Config key round-trips; default is unset.
+    p = tmp_path / "cc.cfg"
+    p.write_text(
+        "[input]\nspecfile = s.txt\nwavefit = 1, 2\nlinelist = CIV 1548\n"
+        f"[run]\ncompile_cache = {tmp_path}/cc\n"
+    )
+    assert readconfig(str(p))["compile_cache"] == f"{tmp_path}/cc"
+    p.write_text(
+        "[input]\nspecfile = s.txt\nwavefit = 1, 2\nlinelist = CIV 1548\n"
+    )
+    assert readconfig(str(p))["compile_cache"] is None
+
+    # The utility creates the directory and points jax at it; 'off'
+    # sentinels disable.  Global jax.config is restored afterwards.
+    import jax
+
+    from mcalf_tpu.utils import enable_compile_cache
+
+    old_dir = jax.config.jax_compilation_cache_dir
+    old_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    try:
+        got = enable_compile_cache(str(tmp_path / "cc"))
+        assert got == str(tmp_path / "cc")
+        assert (tmp_path / "cc").is_dir()
+        assert jax.config.jax_compilation_cache_dir == got
+        assert enable_compile_cache("off") is None
+        assert enable_compile_cache("") is None  # empty env fallthrough
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old_dir)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", old_min
+        )
