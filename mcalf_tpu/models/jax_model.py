@@ -33,6 +33,7 @@ leading problem axis and shards it over the device mesh
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Any, Callable, Dict
 
@@ -42,7 +43,13 @@ import numpy as np
 
 from mcalf_tpu.models.forward import CCGS, TAU_CONST, AbsorptionModel
 from mcalf_tpu.ops.convolve import FWHM_TO_SIGMA, gaussian_kernel, lsf_convolve
-from mcalf_tpu.ops.faddeeva import HARRIS_A_MAX, hjert, hjert_harris
+from mcalf_tpu.ops.faddeeva import (
+    HARRIS_A_MAX,
+    HJERT_WIN_TMIN,
+    hjert,
+    hjert_harris,
+    hjert_harris_win,
+)
 
 
 @dataclass(frozen=True)
@@ -72,6 +79,16 @@ class StaticSpec:
     #: of the 916 series) is accurate for every sample -- a TRACE-TIME
     #: branch, decided from the static prior bounds, never at runtime.
     harris: tuple = ()
+    #: per-transition wing-window threshold on u^2 (0.0 = windowing off):
+    #: for u^2 >= win_tmin[t] the Voigt-Hjerting value is taken from the
+    #: ~6x-cheaper hjert_wing tail instead of the full Harris evaluation
+    #: (ops.faddeeva.hjert_harris_win).  The threshold is derived from the
+    #: STATIC prior bound on the tau amplitude so the absolute optical-
+    #: depth error of the dropped e^{-u^2} stays < 1e-8 per transition.
+    #: Set only for Harris-regime transitions; the fused Pallas kernel
+    #: additionally SKIPS the Harris work for whole 256-pixel chunks whose
+    #: samples are all in the wing (ops/voigt_pallas window flags).
+    win_tmin: tuple = ()
 
 
 def static_spec(
@@ -87,6 +104,22 @@ def static_spec(
     b_lo_kms = model.bounds_lo[tab["pidx"] + 2]
     dnu_min = b_lo_kms * 1e5 * (1e8 / tab["wrest"])
     a_max = tab["gamma"] / (4.0 * np.pi * dnu_min)
+    harris = a_max < HARRIS_A_MAX
+    # Wing-window threshold per transition (hjert_harris_win): require the
+    # absolute tau error of the dropped exponential, amp_max * e^{-tmin},
+    # below 1e-8, with amp_max the static prior bound on the tau amplitude
+    # (N at its upper bound, dnu at its minimum).  Floor at HJERT_WIN_TMIN
+    # (the wing polynomial's own validity).  Harris transitions only;
+    # MCALF_TPU_WINDOW=0 disables (then every pixel takes the full Harris
+    # evaluation, as in rounds 1-3).
+    n_max = model.bounds_hi[tab["pidx"]]
+    amp_max = TAU_CONST * 10.0 ** n_max * tab["f"] / dnu_min
+    tmin = np.maximum(HJERT_WIN_TMIN, np.log(np.maximum(amp_max, 1e-30) * 1e8))
+    window_on = os.environ.get("MCALF_TPU_WINDOW", "1") != "0"
+    win_tmin = tuple(
+        float(tm) if (window_on and h) else 0.0
+        for tm, h in zip(tmin, harris)
+    )
     return StaticSpec(
         ndim=model.ndim,
         npix=model.npix,
@@ -100,7 +133,8 @@ def static_spec(
         has_gpriors=bool(gpriors and model.gpriors is not None),
         use_pallas=bool(use_pallas),
         pallas_interpret=bool(pallas_interpret),
-        harris=tuple(bool(v) for v in (a_max < HARRIS_A_MAX)),
+        harris=tuple(bool(v) for v in harris),
+        win_tmin=win_tmin,
     )
 
 
@@ -113,6 +147,21 @@ def build_consts(
     c: Dict[str, Any] = {}
     # c / lambda [Hz] precomputed on host: full precision in the static part.
     c["c_over_wave"] = (CCGS / (model.obj_wl / 1e8)).astype(np.float32)     # (P,)
+    # Wing-window grid geometry (ops.voigt_pallas.window_offsets): pixel
+    # index as an affine function of log(c/lam), fit in f64 on host, plus
+    # the grid's max deviation from that fit (a CONSERVATIVE pixel margin
+    # -- exact for log-uniform grids, graceful fallback for irregular
+    # ones).  [log cw[0], alpha, dev]; searchsorted on TPU measured 3.7
+    # us/eval (gathers), this analytic form is ~free.
+    q = np.log(np.asarray(c["c_over_wave"], np.float64))
+    P = q.size
+    alpha = (q[0] - q[-1]) / max(P - 1, 1)
+    if alpha > 0:
+        p_pred = (q[0] - q) / alpha
+        dev = float(np.max(np.abs(np.arange(P) - p_pred)))
+    else:  # degenerate / non-monotone grid: windowing disabled downstream
+        alpha, dev = 1.0, float(P)
+    c["wingrid"] = np.array([q[0], alpha, dev], np.float32)
     c["data"] = model.obj.astype(np.float32)                                # (P,)
     c["valid"] = model.valid                                                # (P,)
     c["ivar"] = np.where(
@@ -246,6 +295,7 @@ def reconstruct_core(p, c, s: StaticSpec, dz=None):
             c["c_over_wave"],
             interpret=s.pallas_interpret,
             harris=s.harris,
+            win_tmin=s.win_tmin,
         ).reshape(batch_shape + (s.npix,))
     else:
         tau = jnp.zeros(p.shape[:-1] + (s.npix,), jnp.float32)
@@ -258,11 +308,17 @@ def reconstruct_core(p, c, s: StaticSpec, dz=None):
             u = (
                 c["d0"][t] + dz[..., t : t + 1] * c["c_over_wave"]
             ) * idnu[..., t : t + 1]
-            # Trace-time choice per transition: Harris fast path when the
-            # prior bound guarantees small damping (s.harris), else the full
-            # 916/asymptotic evaluation.
-            hfun = hjert_harris if s.harris[t] else hjert
-            H = hfun(u, avoigt[..., t : t + 1])
+            # Trace-time choice per transition: windowed Harris (wing tail
+            # beyond the static u^2 threshold, see StaticSpec.win_tmin) /
+            # plain Harris when the prior bound guarantees small damping
+            # (s.harris) / the full 916/asymptotic evaluation otherwise.
+            a_t = avoigt[..., t : t + 1]
+            if s.win_tmin and s.win_tmin[t] > 0.0:
+                H = hjert_harris_win(u, a_t, s.win_tmin[t])
+            elif s.harris[t]:
+                H = hjert_harris(u, a_t)
+            else:
+                H = hjert(u, a_t)
             tau = tau + (active[..., t : t + 1] * amp[..., t : t + 1]) * H
 
     flux_model = jnp.exp(-tau)                             # (..., P)
@@ -330,10 +386,15 @@ def _loglike_pallas(p, c, s: StaticSpec, dz=None):
         c["inv_noise"],
         kern,
         cont_b,
+        # per-transition tables + grid geometry for the wing-window placement
+        zmid=c["zmid"],
+        nu0=CCGS * c["inv_wrest_cm"],
+        wingrid=c["wingrid"],
         interpret=s.pallas_interpret,
         harris=s.harris,
         half=s.half,
         asymm=s.asymmlike,
+        win_tmin=s.win_tmin,
     )
     chi2 = chi2.reshape(batch)
     ll = -0.5 * (chi2 + c["const_term"])

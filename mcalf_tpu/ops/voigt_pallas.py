@@ -44,28 +44,52 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mcalf_tpu.ops.faddeeva import hjert_harris, wofz_real_916, wofz_real_asym
+from mcalf_tpu.ops.faddeeva import (
+    hjert_harris,
+    hjert_wing,
+    wofz_real_916,
+    wofz_real_asym,
+)
 
 __all__ = ["voigt_tau_pallas", "pallas_supported"]
 
 # Tile sizes: sublane x lane for f32.
 _TB = 8
 _TP = 512
+#: static lane width of the per-(block, transition) wing window (see
+#: ``_ll_kernel_win``): the Harris evaluation runs only on this 128-aligned
+#: dynamic slice when every block sample's Harris region fits in it.
+_W = 512
 
 
 def _accum_tau(dz_ref, gain_ref, av_ref, idnu_ref, d0_ref, cw, tb, tp,
-               harris):
+               harris, win_tmin=(), skip=()):
     """Shared tau accumulation over the transition loop for one (tb, tp)
-    tile (see ``_tau_kernel`` docstring for the branching scheme)."""
+    tile (see ``_tau_kernel`` docstring for the branching scheme).
+
+    ``win_tmin``: per-transition static wing-window thresholds on u^2
+    (models/jax_model.StaticSpec.win_tmin; 0.0 = windowing off for that
+    transition).  Windowed transitions evaluate the per-pixel
+    ``hjert_harris_win`` selection full-width here -- the window-SKIPPING
+    fast path lives in the fused likelihood kernel (``_ll_kernel_win``);
+    this shared accumulator keeps every production path value-identical.
+    ``skip``: transitions to omit entirely (handled elsewhere)."""
     T = dz_ref.shape[1]
     acc = jnp.zeros((tb, tp), jnp.float32)
     for t in range(T):
+        if skip and skip[t]:
+            continue
         dz = dz_ref[:, t][:, None]        # (tb, 1)
         gain = gain_ref[:, t][:, None]
         a = av_ref[:, t][:, None]
         idnu = idnu_ref[:, t][:, None]
         u = (d0_ref[t, :][None, :] + dz * cw[None, :]) * idnu   # (tb, tp)
-        if harris and harris[t]:
+        if win_tmin and win_tmin[t] > 0.0:
+            tmin = win_tmin[t]
+            H = jnp.where(
+                u * u < tmin, hjert_harris(u, a), hjert_wing(u, a)
+            )
+        elif harris and harris[t]:
             H = hjert_harris(u, a)
         else:
             r2 = u * u + a * a
@@ -89,34 +113,52 @@ def _accum_tau(dz_ref, gain_ref, av_ref, idnu_ref, d0_ref, cw, tb, tp,
 
 
 def _tau_kernel(dz_ref, gain_ref, av_ref, idnu_ref, d0_ref, cw_ref, tau_ref,
-                *, harris=()):
+                *, harris=(), win_tmin=()):
     """One (TB, TP) output tile; loops transitions, branching per tile.
 
     ``harris``: per-transition static flags -- when set, the transition's
     damping is bounded small by its prior and the 3-term Harris expansion
     (ops.faddeeva.hjert_harris) replaces the 916/asymptotic pair with no
-    runtime branch at all."""
+    runtime branch at all.  ``win_tmin``: the windowed-Harris thresholds
+    (per-pixel select only here -- the chunk-skipping flags live in the
+    fused likelihood kernel; this tau-only kernel computes the identical
+    hjert_harris_win VALUES so every production path agrees)."""
     cw = cw_ref[0, :]                     # (TP,)
     tau_ref[:, :] = _accum_tau(
-        dz_ref, gain_ref, av_ref, idnu_ref, d0_ref, cw, _TB, _TP, harris
+        dz_ref, gain_ref, av_ref, idnu_ref, d0_ref, cw, _TB, _TP, harris,
+        win_tmin=win_tmin,
     )
 
 
 def _ll_kernel(
     dz_ref, gain_ref, av_ref, idnu_ref, d0_ref, cw_ref, data_ref, ivar_ref,
     innoise_ref, kern_ref, cont_ref, chi2_ref, n4_ref, n5_ref,
-    *, harris, half, P, Pp, asymm,
+    *, harris, half, P, Pp, asymm, win_tmin=(),
 ):
     """Fully fused likelihood for one block of _TB samples: tau synthesis ->
     exp(-tau) -> (2*half+1)-tap LSF convolution -> chi^2 partial reduction
     (+ the asymmetric-likelihood outlier counts), all in VMEM with no HBM
     intermediate.  The whole (padded) spectrum is one tile, so the
     convolution is ``2*half+1`` static lane-rotations and the reduction
-    never leaves the kernel."""
+    never leaves the kernel.  ``win_tmin``: wing-window thresholds, see
+    ``_accum_tau`` (the window-skipping variant is ``_ll_kernel_win``)."""
     cw = cw_ref[0, :]                                       # (Pp,)
     tau = _accum_tau(
-        dz_ref, gain_ref, av_ref, idnu_ref, d0_ref, cw, _TB, Pp, harris
+        dz_ref, gain_ref, av_ref, idnu_ref, d0_ref, cw, _TB, Pp, harris,
+        win_tmin=win_tmin,
     )
+    _ll_tail(
+        tau, data_ref, ivar_ref, innoise_ref, kern_ref, cont_ref,
+        chi2_ref, n4_ref, n5_ref, half=half, P=P, Pp=Pp, asymm=asymm,
+    )
+
+
+def _ll_tail(
+    tau, data_ref, ivar_ref, innoise_ref, kern_ref, cont_ref,
+    chi2_ref, n4_ref, n5_ref, *, half, P, Pp, asymm,
+):
+    """exp(-tau) -> LSF convolution -> chi^2 (+ asymmlike counts): the
+    shared back half of the fused likelihood kernels."""
     flux = jnp.exp(-tau)                                    # (_TB, Pp)
     lane = jax.lax.broadcasted_iota(jnp.int32, (_TB, Pp), 1)
     inb = lane < P
@@ -151,13 +193,154 @@ def _ll_kernel(
     n5_ref[:, :] = jnp.broadcast_to(n5[:, None], (_TB, 128))
 
 
+def _ll_kernel_win(
+    wins_ref, dz_ref, gain_ref, av_ref, idnu_ref, d0_ref, cw_ref, data_ref,
+    ivar_ref, innoise_ref, kern_ref, cont_ref, chi2_ref, n4_ref, n5_ref,
+    wtau_ref, *, harris, half, P, Pp, asymm, win_tmin,
+):
+    """Windowed fused likelihood: the Harris evaluation of each windowed
+    transition runs only on a per-(block, transition) _W-lane dynamic slice.
+
+    ``wins_ref`` is a scalar-prefetch SMEM (n_blocks, 2*T) int32 table of
+    [window start (128-aligned lane), overflow flag] pairs from
+    :func:`window_offsets`.  The branch is per BLOCK (one pl.when pair --
+    per-transition conds measured 2x slower than the math they saved):
+
+    * no window overflows -> for each windowed transition, accumulate the
+      cheap wing tail full-width (registers), then add the (harris - wing)
+      correction on its window slice into the ``wtau_ref`` VMEM scratch;
+    * any overflow (early sampling phase, live points spread prior-wide) ->
+      the full-width per-pixel hjert_harris_win selection.
+
+    Both branches compute the IDENTICAL hjert_harris_win values (unflagged
+    wing lanes evaluate the same wing expression the selection picks), so
+    the output is independent of the window table; tests/test_windowing.py
+    pins that invariant.  Non-windowed transitions (win_tmin[t] == 0) take
+    their usual _accum_tau branch outside the when."""
+    i = pl.program_id(0)
+    cw = cw_ref[0, :]                                       # (Pp,)
+    T = dz_ref.shape[1]
+    wpairs = [t for t in range(T) if win_tmin[t] > 0.0]
+
+    def u_row(t):
+        dz = dz_ref[:, t][:, None]
+        idnu = idnu_ref[:, t][:, None]
+        return (d0_ref[t, :][None, :] + dz * cw[None, :]) * idnu
+
+    anybad = jnp.int32(0)
+    for t in wpairs:
+        anybad = anybad + wins_ref[i, 2 * t + 1]
+
+    @pl.when(anybad == 0)
+    def _window_path():
+        acc = jnp.zeros((_TB, Pp), jnp.float32)
+        for t in wpairs:
+            gain = gain_ref[:, t][:, None]
+            a = av_ref[:, t][:, None]
+            acc = acc + gain * hjert_wing(u_row(t), a)
+        wtau_ref[...] = acc
+        for t in wpairs:
+            dz = dz_ref[:, t][:, None]
+            gain = gain_ref[:, t][:, None]
+            a = av_ref[:, t][:, None]
+            idnu = idnu_ref[:, t][:, None]
+            s = pl.multiple_of(wins_ref[i, 2 * t], 128)
+            cww = cw_ref[0, pl.ds(s, _W)]
+            d0w = d0_ref[t, pl.ds(s, _W)]
+            uw = (d0w[None, :] + dz * cww[None, :]) * idnu
+            corr = jnp.where(
+                uw * uw < win_tmin[t],
+                hjert_harris(uw, a) - hjert_wing(uw, a),
+                0.0,
+            )
+            wtau_ref[:, pl.ds(s, _W)] = (
+                wtau_ref[:, pl.ds(s, _W)] + gain * corr
+            )
+
+    @pl.when(anybad != 0)
+    def _full_path():
+        acc = jnp.zeros((_TB, Pp), jnp.float32)
+        for t in wpairs:
+            gain = gain_ref[:, t][:, None]
+            a = av_ref[:, t][:, None]
+            u = u_row(t)
+            acc = acc + gain * jnp.where(
+                u * u < win_tmin[t], hjert_harris(u, a), hjert_wing(u, a)
+            )
+        wtau_ref[...] = acc
+
+    tau = wtau_ref[...]
+    if len(wpairs) < T:
+        # non-windowed transitions (filler/916 regimes) keep their usual
+        # branchless full-width evaluation
+        tau = tau + _accum_tau(
+            dz_ref, gain_ref, av_ref, idnu_ref, d0_ref, cw, _TB, Pp,
+            harris, skip=tuple(t in wpairs for t in range(T)),
+        )
+    _ll_tail(
+        tau, data_ref, ivar_ref, innoise_ref, kern_ref, cont_ref,
+        chi2_ref, n4_ref, n5_ref, half=half, P=P, Pp=Pp, asymm=asymm,
+    )
+
+
+def window_offsets(dzp, gainp, dnup, zmid, nu0, wingrid, P, win_tmin, Pp):
+    """Per-(sample-block, transition) wing-window placement (int32).
+
+    For each sample and windowed transition, the Harris region {u^2 <
+    win_tmin} is a contiguous pixel interval because u is monotone along
+    the pixel axis (u = ((1 + z) c/lam - nu0)/dnu with c/lam monotone
+    decreasing).  Its bounds come from the two frequency thresholds
+    (nu0 +/- sqrt(tmin') dnu)/(1 + z) mapped to pixel indices through the
+    grid's AFFINE log-frequency fit ``wingrid = [log cw[0], alpha, dev]``
+    (models/jax_model.build_consts) -- p = (log cw[0] - log thr)/alpha --
+    padded by the fit's max deviation ``dev`` plus 2 pixels, so the window
+    is conservative for ANY grid (an exact searchsorted against the c/lam
+    table measured 3.7 us/eval on TPU from gather cost; two logs are
+    ~free).  The block's window is the union over its _TB samples
+    (inactive zero-gain transitions excluded); the returned [start,
+    overflow] pair per transition gives the 128-aligned _W-lane slice,
+    with overflow set when the union does not fit (the kernel then falls
+    back to the full-width selection for that block).
+
+    Returns (Bp/_TB, 2*T) int32.
+    """
+    Bp, T = dzp.shape
+    q0, alpha, dev = wingrid[0], wingrid[1], wingrid[2]
+    tm = jnp.sqrt(jnp.asarray(win_tmin, jnp.float32) * 1.002)  # (T,)
+    one_z = (1.0 + jnp.asarray(zmid, jnp.float32))[None, :] + dzp  # (Bp, T)
+    thr_hi = (nu0[None, :] + tm[None, :] * dnup) / one_z
+    thr_lo = (nu0[None, :] - tm[None, :] * dnup) / one_z
+    margin = dev + 2.5
+    p_lo = (q0 - jnp.log(jnp.maximum(thr_hi, 1e-30))) / alpha - margin
+    p_hi = (q0 - jnp.log(jnp.maximum(thr_lo, 1e-30))) / alpha + margin
+    p_lo = jnp.floor(p_lo).astype(jnp.int32)
+    p_hi = jnp.ceil(p_hi).astype(jnp.int32)
+    active = gainp != 0.0
+    empty = ~active | (p_hi < 0) | (p_lo > P - 1)
+    BIG = jnp.int32(1 << 28)
+    p_lo = jnp.where(empty, BIG, p_lo)
+    p_hi = jnp.where(empty, -BIG, jnp.minimum(p_hi, P - 1))
+    nblk = Bp // _TB
+    lo_b = p_lo.reshape(nblk, _TB, T).min(axis=1)
+    hi_b = p_hi.reshape(nblk, _TB, T).max(axis=1)
+    lo_b = jnp.clip(lo_b, 0, max(P - 1, 0))
+    start = jnp.clip((lo_b // 128) * 128, 0, Pp - _W)
+    overflow = (hi_b >= start + _W) & (hi_b >= 0)
+    out = jnp.stack(
+        [start.astype(jnp.int32), overflow.astype(jnp.int32)], axis=-1
+    )
+    return out.reshape(nblk, 2 * T)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "harris", "half", "asymm")
+    jax.jit,
+    static_argnames=("interpret", "harris", "half", "asymm", "win_tmin"),
 )
 def likelihood_pallas(
     dz, gain, av, dnu, d0, c_over_wave, data, ivar, inv_noise, kern, cont,
+    zmid=None, nu0=None, wingrid=None,
     interpret: bool = False, harris: tuple = (), half: int = 0,
-    asymm: bool = False,
+    asymm: bool = False, win_tmin: tuple = (),
 ):
     """Fused chi^2 (+ asymmlike outlier counts) for a batch of samples.
 
@@ -169,6 +352,14 @@ def likelihood_pallas(
     positive-residual counts used by the asymmetric likelihood (zeros when
     ``asymm`` is False).
 
+    ``win_tmin``: per-transition wing-window thresholds (StaticSpec
+    .win_tmin).  When any is set (requires the (T,) ``zmid``/``nu0``
+    per-transition tables), the kernel computes :func:`window_offsets` and
+    runs the Harris evaluation only on a _W-lane window per (block,
+    transition) -- the dominant speedup of the converged sampling phase,
+    where live points cluster and each transition's Harris region is a
+    narrow slice of the spectrum.
+
     Convolution semantics are exactly ``lsf_convolve(mode='same_edge')``
     (the reference's JAX-likelihood path, hires_fitter.py:666-681).
     """
@@ -178,8 +369,19 @@ def likelihood_pallas(
     P = cw.shape[0]
     K = 2 * half + 1
     Bp = -(-B // _TB) * _TB
+    windowed = (
+        bool(win_tmin)
+        and any(v > 0.0 for v in win_tmin)
+        and zmid is not None
+        and nu0 is not None
+        and wingrid is not None
+    )
     # One lane-tile spectrum with room for the conv margin (see _ll_kernel).
     Pp = -(-(P + max(half, 1)) // 128) * 128
+    # The windowed kernel's _W-lane dynamic slice must fit; degenerate to
+    # the plain kernel when the spectrum is not meaningfully wider.
+    if windowed and Pp <= _W:
+        windowed = False
 
     def pad(x, n, axis=0, value=0.0):
         w = [(0, 0)] * x.ndim
@@ -199,32 +401,63 @@ def likelihood_pallas(
     contp = pad(jnp.broadcast_to(jnp.asarray(cont), (B,))[:, None], Bp)
 
     grid = (Bp // _TB,)
-    row = lambda i: (i, 0)
-    full = lambda i: (0, 0)
-    chi2, n4, n5 = pl.pallas_call(
-        functools.partial(
-            _ll_kernel, harris=harris, half=half, P=P, Pp=Pp, asymm=asymm
-        ),
-        out_shape=[jax.ShapeDtypeStruct((Bp, 128), jnp.float32)] * 3,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((_TB, T), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TB, T), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TB, T), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TB, T), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, Pp), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Pp), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Pp), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Pp), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Pp), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TB, K), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TB, 1), row, memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((_TB, 128), row, memory_space=pltpu.VMEM)
-        ] * 3,
-        interpret=interpret,
-    )(dzp, gainp, avp, idnup, d0p, cwp, datap, ivarp, innp, kernp, contp)
+    # variadic: under PrefetchScalarGridSpec the index maps also receive the
+    # scalar-prefetch ref
+    row = lambda i, *refs: (i, 0)
+    full = lambda i, *refs: (0, 0)
+    in_specs = [
+        pl.BlockSpec((_TB, T), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((_TB, T), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((_TB, T), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((_TB, T), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, Pp), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Pp), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Pp), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Pp), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Pp), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((_TB, K), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((_TB, 1), row, memory_space=pltpu.VMEM),
+    ]
+    operands = [
+        dzp, gainp, avp, idnup, d0p, cwp, datap, ivarp, innp, kernp, contp
+    ]
+    out_specs = [pl.BlockSpec((_TB, 128), row, memory_space=pltpu.VMEM)] * 3
+    out_shape = [jax.ShapeDtypeStruct((Bp, 128), jnp.float32)] * 3
+    if windowed:
+        wins = window_offsets(
+            dzp, gainp, pad(dnu, Bp, value=1.0),
+            jnp.asarray(zmid, jnp.float32), jnp.asarray(nu0, jnp.float32),
+            jnp.asarray(wingrid, jnp.float32), P, win_tmin, Pp,
+        )
+        kernel = functools.partial(
+            _ll_kernel_win, harris=harris, half=half, P=P, Pp=Pp,
+            asymm=asymm, win_tmin=win_tmin,
+        )
+        chi2, n4, n5 = pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=[pltpu.VMEM((_TB, Pp), jnp.float32)],
+            ),
+            interpret=interpret,
+        )(wins, *operands)
+    else:
+        kernel = functools.partial(
+            _ll_kernel, harris=harris, half=half, P=P, Pp=Pp, asymm=asymm,
+            win_tmin=win_tmin,
+        )
+        chi2, n4, n5 = pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            interpret=interpret,
+        )(*operands)
     return chi2[:B, 0], n4[:B, 0], n5[:B, 0]
 
 
@@ -237,10 +470,12 @@ def pallas_supported() -> bool:
         return False
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "harris"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "harris", "win_tmin")
+)
 def voigt_tau_pallas(
     dz, gain, av, dnu, d0, c_over_wave, interpret: bool = False,
-    harris: tuple = (),
+    harris: tuple = (), win_tmin: tuple = (),
 ):
     """tau(B, P) = sum_t gain[b,t] * H(u, a).
 
@@ -277,7 +512,7 @@ def voigt_tau_pallas(
 
     grid = (Bp // _TB, Pp // _TP)
     out = pl.pallas_call(
-        functools.partial(_tau_kernel, harris=harris),
+        functools.partial(_tau_kernel, harris=harris, win_tmin=win_tmin),
         out_shape=jax.ShapeDtypeStruct((Bp, Pp), jnp.float32),
         grid=grid,
         in_specs=[
