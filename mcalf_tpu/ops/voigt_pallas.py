@@ -212,11 +212,14 @@ def _ll_kernel_win(
     * any overflow (early sampling phase, live points spread prior-wide) ->
       the full-width per-pixel hjert_harris_win selection.
 
-    Both branches compute the IDENTICAL hjert_harris_win values (unflagged
-    wing lanes evaluate the same wing expression the selection picks), so
-    the output is independent of the window table; tests/test_windowing.py
-    pins that invariant.  Non-windowed transitions (win_tmin[t] == 0) take
-    their usual _accum_tau branch outside the when."""
+    The window branch computes exactly the hjert_harris_win selection; the
+    fallback computes plain hjert_harris, which differs from it only by the
+    dropped exponential (amp_max e^{-tmin} < 1e-8 in tau), so the output
+    depends on the window table only below physical relevance --
+    tests/test_windowing.py bounds the difference and separately checks the
+    placement geometry is conservative.  Non-windowed transitions
+    (win_tmin[t] == 0) take their usual _accum_tau branch outside the
+    when."""
     i = pl.program_id(0)
     cw = cw_ref[0, :]                                       # (Pp,)
     T = dz_ref.shape[1]
@@ -259,14 +262,17 @@ def _ll_kernel_win(
 
     @pl.when(anybad != 0)
     def _full_path():
+        # plain full-accuracy Harris, NOT the windowed selection: this path
+        # runs for nearly every block of a sampling fit (cube-chord slice
+        # proposals are spatially heterogeneous), and the selection costs
+        # ~15% extra (wing + where on every lane) for a value difference
+        # bounded by the dropped exponential (amp_max e^{-tmin} < 1e-8 in
+        # tau -- physically nil; tests/test_windowing.py bounds it).
         acc = jnp.zeros((_TB, Pp), jnp.float32)
         for t in wpairs:
             gain = gain_ref[:, t][:, None]
             a = av_ref[:, t][:, None]
-            u = u_row(t)
-            acc = acc + gain * jnp.where(
-                u * u < win_tmin[t], hjert_harris(u, a), hjert_wing(u, a)
-            )
+            acc = acc + gain * hjert_harris(u_row(t), a)
         wtau_ref[...] = acc
 
     tau = wtau_ref[...]
