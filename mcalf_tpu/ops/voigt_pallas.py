@@ -32,6 +32,18 @@ in one VMEM-resident kernel with no HBM intermediates, and measures
 (models/jax_model.resolve_use_pallas: auto-on when the (T, P) tables fit
 VMEM; MCALF_TPU_PALLAS=0 overrides).  The tau-only kernel stays for the
 head-to-head and as the fallback shape.
+
+Round 4 adds the WING-WINDOW fast path (``_ll_kernel_win``): for
+transitions whose prior-bounded damping admits the Harris expansion, the
+full evaluation runs only on a 128-aligned ``_W``-lane dynamic slice per
+(sample-block, transition) -- placed by :func:`window_offsets` -- with the
+~6x-cheaper ``hjert_wing`` tail everywhere else, branching ONCE per block
+(pl.when; per-chunk lax.cond designs measured 2x slower than the math they
+saved -- region ops copy their operands).  Engages for posterior-clustered
+batches (1.7-1.9x measured); sampling fits take the plain-Harris fallback
+nearly always (cube-chord slice proposals are spatially heterogeneous) and
+are window-neutral.  MCALF_TPU_WINDOW=0 disables.  The refuted design
+variants and the measurement methodology are recorded in CLAUDE.md.
 """
 
 from __future__ import annotations
@@ -51,7 +63,12 @@ from mcalf_tpu.ops.faddeeva import (
     wofz_real_asym,
 )
 
-__all__ = ["voigt_tau_pallas", "pallas_supported"]
+__all__ = [
+    "voigt_tau_pallas",
+    "likelihood_pallas",
+    "window_offsets",
+    "pallas_supported",
+]
 
 # Tile sizes: sublane x lane for f32.
 _TB = 8

@@ -129,7 +129,16 @@ def run_plot(
 
     lnlhood = np.percentile(lhoodval, 50)
     AIC = 2 * model.ndim - 2 * lnlhood
-    chi2 = model.chi2(np.nan_to_num(meds, nan=0.0))
+    # Columns of never-active components are all-NaN after z-sorting; fill
+    # them with the prior midpoint, NOT zero: b=0 gives dnu=0 and the
+    # masked tau still evaluates 0*inf = NaN (seen as "Chi2: nan" on the
+    # HI-forest banner).  The reference avoids it by looping only active
+    # components (cli.py:373 with hires_fitter.py:430); any finite filler
+    # value is equivalent here because reconstruct masks comps beyond
+    # floor(meds[startind]).
+    mid = 0.5 * (model.bounds_lo + model.bounds_hi)
+    meds_f = np.where(np.isnan(meds), mid, meds)
+    chi2 = model.chi2(meds_f)
     # NOTE: the reference passes (AIC, chi2) into a "(chi2, AIC)" template
     # (cli.py:374), printing each under the other's label -- fixed here.
     statstring = r"$\ln(z): {0:6.3f},~\ln(L): {1:6.3f},~\chi^2: {2:6.3f},~AIC: {3:6.3f}$".format(

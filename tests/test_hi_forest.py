@@ -90,3 +90,48 @@ def test_hi_fit_with_filler_absorbs_contaminant(hi_mock):
     ]
     for want, got in zip(features, absorbers):
         assert abs(got - want) < 0.5, (features, absorbers)
+
+
+def test_shipped_hi_forest_config_end_to_end(tmp_path, capsys):
+    """The SHIPPED testdata/hi_forest.cfg (mcalf_tpu.mocks) runs end to end
+    through the CLI surface: fit + analysis + plot on the bundled HI-forest
+    mock, recovering the 2-component MAP and writing the reference-format
+    outputs.  (Settings are reduced from the shipped config only in
+    max_samples/precision to keep CI time bounded; the shipped values are
+    the benchmark's converged configuration.)"""
+    import configparser
+    import os
+
+    from mcalf_tpu import cli
+    from mcalf_tpu.analysis import analyze_chains
+
+    repo_testdata = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "testdata",
+    )
+    cp = configparser.ConfigParser()
+    assert cp.read(os.path.join(repo_testdata, "hi_forest.cfg"))
+    cp["pathing"]["datadir"] = repo_testdata + os.sep
+    cp["pathing"]["outdir"] = str(tmp_path) + os.sep
+    cp["ns_settings"]["nlive"] = "60"
+    cp["ns_settings"]["max_samples"] = "6000"
+    cp["ns_settings"]["precision_criterion"] = "0.2"
+    cfg = tmp_path / "hi.cfg"
+    with open(cfg, "w") as f:
+        cp.write(f)
+    assert cli.main([str(cfg)]) == 0
+    banner = capsys.readouterr().out
+    # trans-dimensional banner regression: never-active component columns
+    # are all-NaN after z-sorting; the chi2-at-medians must still be finite
+    assert "Chi2:    nan" not in banner and "Chi2:" in banner
+    base = os.path.join(str(tmp_path), "fits", "hi_fits_1")
+    lnz, lnz_err, _lhood, post = analyze_chains(base)
+    assert np.isfinite(lnz) and lnz_err > 0
+    # MAP active-HI-component count: the ncomp dim sits at startind=0
+    # (fixed cont/specres); 2 HI comps + the filler absorbs the contaminant
+    nact = np.floor(post[:, 0]).astype(int)
+    vals, counts = np.unique(nact, return_counts=True)
+    assert vals[np.argmax(counts)] == 2, dict(zip(vals, counts))
+    assert os.path.exists(
+        os.path.join(str(tmp_path), "plots", "hi_fits_1.pdf")
+    )
