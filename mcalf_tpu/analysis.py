@@ -17,7 +17,11 @@ from mcalf_tpu.io.chains import read_equal_weights, read_stats
 __all__ = ["analyze_chains", "sort_components", "get_parnames", "ncomp_occurrence"]
 
 
-def sort_components(postsamples: np.ndarray, startind: int | None = None) -> np.ndarray:
+def sort_components(
+    postsamples: np.ndarray,
+    startind: int | None = None,
+    nfill: int = 0,
+) -> np.ndarray:
     """Per-sample: NaN out dimensions beyond the active component count and
     sort the active (N, z, b) triplets by redshift.
 
@@ -27,6 +31,16 @@ def sort_components(postsamples: np.ndarray, startind: int | None = None) -> np.
     everything beyond is NaN.  ``startind`` defaults to the reference's
     layout inference ``(ncols - 1) % 3`` (valid for the
     [head..., ncomp, triplets...] layout, :728).
+
+    ``nfill``: number of trailing FILLER triplets to exclude from the
+    sort-and-mask.  The reference NaNs everything beyond the active
+    components INCLUDING the always-active filler parameters
+    (hires_fitter.py:737 ``postsamples[ii, thisendind:] = 99``), which
+    silently blanks the filler absorption out of its own posterior-overlay
+    plots for any nfill > 0 fit -- a reference bug we do not replicate
+    when the caller can supply ``nfill`` (run_plot does; the default 0
+    reproduces the reference's chain-only inference, which cannot know the
+    layout).
     """
     post = np.array(postsamples, dtype=np.float64, copy=True)
     n, ncols = post.shape
@@ -37,7 +51,9 @@ def sort_components(postsamples: np.ndarray, startind: int | None = None) -> np.
     # chains): view the triplet block as (n, K, 3), key inactive triplets
     # with +inf so a stable argsort moves the active ones, z-ordered, to the
     # front, then NaN everything inactive.
-    K = (ncols - startind - 1) // 3
+    K = (ncols - startind - 1) // 3 - int(nfill)
+    if K <= 0:
+        return out
     trip = post[:, startind + 1 : startind + 1 + 3 * K].reshape(n, K, 3)
     ncomp = np.clip(post[:, startind].astype(np.int64), 0, K)
     active = np.arange(K)[None, :] < ncomp[:, None]
@@ -51,17 +67,19 @@ def sort_components(postsamples: np.ndarray, startind: int | None = None) -> np.
 
 
 def analyze_chains(
-    filesbasename: str, return_sorted: bool = True
+    filesbasename: str, return_sorted: bool = True, nfill: int = 0
 ) -> Tuple[float, float, np.ndarray, np.ndarray]:
     """Read ``<base>.stats`` + ``<base>_equal_weights.txt`` and return
     (lnZ, lnZ_err, lnL samples, posterior samples) -- reference
-    ``pc_analyzer`` semantics (hires_fitter.py:704-747)."""
+    ``pc_analyzer`` semantics (hires_fitter.py:704-747).  ``nfill``
+    preserves that many trailing filler triplets through the sort (see
+    :func:`sort_components`)."""
     lnz, lnz_err = read_stats(filesbasename + ".stats")
     allsamples = read_equal_weights(filesbasename + "_equal_weights.txt")
     lhoodsamples = -0.5 * allsamples[:, 1]
     postsamples = allsamples[:, 2:]
     if return_sorted:
-        postsamples = sort_components(postsamples)
+        postsamples = sort_components(postsamples, nfill=nfill)
     return lnz, lnz_err, lhoodsamples, postsamples
 
 

@@ -11,6 +11,7 @@ profiles with tick marks at (1+z) * wrest.
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Any, Dict
 
 import numpy as np
@@ -112,9 +113,18 @@ def run_plot(
     if model is None:
         model = build_model(configpars, debug=debug)
 
-    lnz, dlnz, lhoodval, values = analyze_chains(base, return_sorted=True)
+    lnz, dlnz, lhoodval, values = analyze_chains(
+        base, return_sorted=True, nfill=int(model.nfill)
+    )
 
-    meds = np.nanpercentile(values, 50, axis=0)
+    # Never-active component columns are all-NaN by construction
+    # (sort_components); their median is legitimately NaN -- keep the
+    # console clean of numpy's warning about it.
+    with warnings.catch_warnings():
+        warnings.filterwarnings(
+            "ignore", message="All-NaN slice encountered"
+        )
+        meds = np.nanpercentile(values, 50, axis=0)
 
     if model.freecont:
         continuum = meds[1] if model.freespecres else meds[0]

@@ -68,3 +68,33 @@ def test_analyze_chains_end_to_end(tmp_path):
 def test_get_parnames():
     assert get_parnames(2) == ["N1", "z1", "b1", "N2", "z2", "b2"]
     assert get_parnames(1, cont=True) == ["Cont", "N1", "z1", "b1"]
+
+
+def test_sort_components_preserves_fillers():
+    """nfill > 0: the trailing filler triplets are always-active parameters
+    and must survive the z-sort/NaN-masking (the reference blanks them --
+    hires_fitter.py:737 -- which erases filler absorption from its own
+    overlay plots; documented deviation in sort_components)."""
+    from mcalf_tpu.analysis import sort_components
+
+    # layout: [ncomp][3 comp triplets][1 filler triplet], startind = 0
+    row = np.array(
+        [2.0,
+         13.0, 3.002, 20.0,   # comp A (active)
+         13.5, 3.001, 10.0,   # comp B (active, lower z -> sorts first)
+         12.0, 3.003, 30.0,   # comp C (inactive)
+         14.0, 16.0, 25.0]    # filler (always active)
+    )
+    out = sort_components(row[None, :], nfill=1)[0]
+    assert out[0] == 2.0
+    # z-sorted actives
+    assert np.allclose(out[1:4], [13.5, 3.001, 10.0])
+    assert np.allclose(out[4:7], [13.0, 3.002, 20.0])
+    # inactive comp NaN
+    assert np.all(np.isnan(out[7:10]))
+    # filler preserved verbatim
+    assert np.allclose(out[10:13], [14.0, 16.0, 25.0])
+    # reference-compat default (nfill=0): filler treated as a component
+    # slot and blanked for ncomp=2
+    ref = sort_components(row[None, :])[0]
+    assert np.all(np.isnan(ref[7:13]))
