@@ -51,7 +51,11 @@ def read_stats(path: str) -> Tuple[float, float]:
 
 
 def write_equal_weights(path: str, matrix: np.ndarray) -> None:
-    np.savetxt(path, np.asarray(matrix, np.float64))
+    # Native C++ writer, byte-identical to np.savetxt's default format
+    # (mcalf_tpu/native; ~0.9 s -> ~0.1 s on a flagship-sized chain).
+    from mcalf_tpu.native import write_table
+
+    write_table(path, np.asarray(matrix, np.float64))
 
 
 def read_equal_weights(path: str) -> np.ndarray:

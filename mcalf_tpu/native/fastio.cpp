@@ -107,4 +107,46 @@ int fastio_read_table(const char* path, double** out, int64_t* nrows,
 
 void fastio_free(double* ptr) { std::free(ptr); }
 
+// Write a row-major double table as np.savetxt's default format: one row
+// per line, values as "%.18e" joined by single spaces (C printf and
+// Python's %-formatting agree byte-for-byte on this format, including
+// nan/inf; tests/test_native_io.py pins byte identity).  ~8x faster than
+// np.savetxt on chain-sized tables (the reference writes its chains
+// through np.savetxt, cli.py:325).
+// Returns 0 on success, 1 = cannot open, 6 = write failure.
+int fastio_write_table(const char* path, const double* data, int64_t nrows,
+                       int64_t ncols) {
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return 1;
+  // One formatted row is at most ncols * 32 bytes; buffer ~4 MB of rows
+  // between fwrites.
+  const size_t row_cap = static_cast<size_t>(ncols) * 32 + 2;
+  std::vector<char> buf;
+  buf.reserve((4u << 20) + row_cap);
+  std::vector<char> row(row_cap);
+  for (int64_t i = 0; i < nrows; ++i) {
+    char* w = row.data();
+    for (int64_t j = 0; j < ncols; ++j) {
+      if (j) *w++ = ' ';
+      w += std::snprintf(w, 32, "%.18e", data[i * ncols + j]);
+    }
+    *w++ = '\n';
+    buf.insert(buf.end(), row.data(), w);
+    if (buf.size() >= (4u << 20)) {
+      if (std::fwrite(buf.data(), 1, buf.size(), f) != buf.size()) {
+        std::fclose(f);
+        return 6;
+      }
+      buf.clear();
+    }
+  }
+  if (!buf.empty() &&
+      std::fwrite(buf.data(), 1, buf.size(), f) != buf.size()) {
+    std::fclose(f);
+    return 6;
+  }
+  if (std::fclose(f) != 0) return 6;
+  return 0;
+}
+
 }  // extern "C"

@@ -85,3 +85,44 @@ def test_native_speed(tmp_path, rng):
         t_numpy = min(t_numpy, time.perf_counter() - t0)
     assert np.array_equal(a, b)
     assert t_native < t_numpy, (t_native, t_numpy)
+
+
+def test_write_table_byte_identical_to_savetxt(tmp_path, rng):
+    """The native writer's output is BYTE-identical to np.savetxt's default
+    "%.18e" format -- the chain-file compat contract (write_equal_weights
+    routes through it), including special values."""
+    from mcalf_tpu.native import write_table
+
+    data = rng.normal(size=(500, 7)) * 10.0 ** rng.integers(
+        -200, 200, size=(500, 7)
+    )
+    data[0, 0] = 0.0
+    data[1, 1] = -0.0
+    data[2, 2] = np.nan
+    data[3, 3] = np.inf
+    data[4, 4] = -np.inf
+    data[5, 5] = 1.0
+    a = str(tmp_path / "native.txt")
+    b = str(tmp_path / "numpy.txt")
+    write_table(a, data)
+    np.savetxt(b, data)
+    with open(a, "rb") as fa, open(b, "rb") as fb:
+        assert fa.read() == fb.read()
+
+
+def test_write_table_roundtrip_and_speed(tmp_path, rng):
+    from mcalf_tpu.native import write_table
+
+    data = rng.normal(size=(20000, 36))
+    path = str(tmp_path / "chain_w.txt")
+    t_native, t_numpy = np.inf, np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        write_table(path, data)
+        t_native = min(t_native, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.savetxt(str(tmp_path / "chain_np.txt"), data)
+        t_numpy = min(t_numpy, time.perf_counter() - t0)
+    back = read_table(path)
+    assert np.array_equal(back, data)  # %.18e is exact for float64
+    assert t_native < t_numpy, (t_native, t_numpy)
