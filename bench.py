@@ -348,8 +348,16 @@ def main():
     seed_spread = round(max(logz_seeds) - min(logz_seeds), 3)
     # A failing health check or a truncated run is NOT a success, whatever
     # the termination flag says (the round-2 verdict's gating requirement).
-    converged = all(int(r.termination_reason) == 0 for r in runs) and all(
-        d.p_value > 0.01 for d in ranks
+    # Third gate per the module docstring: the merged evidence must land
+    # within errors of the 544-rung ladder limit -- 3x the combined
+    # (merged-quoted + per-run-scale ladder) uncertainty, catching an
+    # under-mixing regression at the calibrated num_repeats=272 that the
+    # termination flag and rank tests alone would miss.
+    ladder_tol = 3.0 * float(np.hypot(merged.logzerr, 0.83))
+    converged = (
+        all(int(r.termination_reason) == 0 for r in runs)
+        and all(d.p_value > 0.01 for d in ranks)
+        and abs(merged.logz - LADDER_LIMIT) < ladder_tol
     )
 
     # Roofline sample adjacent to the fits (the relay drifts; see

@@ -122,8 +122,8 @@ def read_table(path: str) -> np.ndarray:
 
 def write_table(path: str, matrix: np.ndarray) -> None:
     """Write a float64 (rows, cols) table in np.savetxt's default format
-    ("%.18e", space-separated) -- byte-identical output, ~8x faster on
-    chain-sized tables.  Native C++ writer when available, np.savetxt
+    ("%.18e", space-separated) -- byte-identical output, measured 2.6x
+    faster on flagship-sized chains.  Native C++ writer when available, np.savetxt
     fallback otherwise."""
     m = np.ascontiguousarray(np.atleast_2d(np.asarray(matrix, np.float64)))
     lib = _load()
@@ -136,7 +136,8 @@ def write_table(path: str, matrix: np.ndarray) -> None:
         m.shape[0],
         m.shape[1],
     )
-    if rc == 1:
-        raise FileNotFoundError(path)
     if rc != 0:
+        # rc 1 = fopen failed (missing dir, EACCES, EMFILE, ...) -- a
+        # generic OSError, NOT FileNotFoundError: the write target not
+        # existing yet is the normal case
         raise OSError(f"fastio failed to write {path!r} (code {rc})")

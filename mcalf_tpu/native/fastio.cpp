@@ -110,8 +110,9 @@ void fastio_free(double* ptr) { std::free(ptr); }
 // Write a row-major double table as np.savetxt's default format: one row
 // per line, values as "%.18e" joined by single spaces (C printf and
 // Python's %-formatting agree byte-for-byte on this format, including
-// nan/inf; tests/test_native_io.py pins byte identity).  ~8x faster than
-// np.savetxt on chain-sized tables (the reference writes its chains
+// nan/inf; tests/test_native_io.py pins byte identity).  Measured 2.6x
+// faster than np.savetxt on flagship-sized chains (1.02 s -> 0.39 s for
+// 40k x 37; snprintf dominates) (the reference writes its chains
 // through np.savetxt, cli.py:325).
 // Returns 0 on success, 1 = cannot open, 6 = write failure.
 int fastio_write_table(const char* path, const double* data, int64_t nrows,

@@ -372,9 +372,15 @@ def run_fit(
     # machinery under <chain base>_resume/: write_resume saves rolling
     # sampler-state checkpoints, read_resume resumes from them.
     ckpt_read = ckpt_write = ckpt_dir is not None
+    ckpt_implicit = False
     if ckpt_dir is None and (plan.read_resume or plan.write_resume):
         ckpt_dir = chain_basename(configpars) + "_resume"
         ckpt_read, ckpt_write = plan.read_resume, plan.write_resume
+        # read_resume defaults ON whenever [pc_settings] exists (reference
+        # cli.py:97-98), so stale resume files from an EDITED config must
+        # not abort the run -- warn and refit instead.  The explicit
+        # [run] checkpoint surface keeps the hard fingerprint refusal.
+        ckpt_implicit = True
     showprogress = bool(configpars.get("showprogress", False))
     # [ns_settings] auto_repeats: run the repeats LADDER (sampler/repeats.py)
     # instead of a single fit -- double num_repeats until one doubling moves
@@ -382,9 +388,9 @@ def run_fit(
     # tests, then report the final rung's 2 seeds birth-merged.  The
     # automated form of the flagship convergence methodology
     # (tools/flagship_study.py).
-    auto_repeats = str(
-        configpars.get("ns_settings", {}).get("auto_repeats", "")
-    ).strip().lower() in ("true", "1", "yes")
+    auto_repeats = _as_bool(
+        configpars.get("ns_settings", {}).get("auto_repeats", False)
+    )
     if auto_repeats and dynamic:
         raise ValueError(
             "[ns_settings] auto_repeats and dynamic sampling cannot be "
@@ -406,19 +412,39 @@ def run_fit(
         state = None
         boost_state = None
         fp = problem_fingerprint(model, cfg, seed) if ckpt_dir else None
+        def _load_resume(path, what):
+            # The fingerprint check refuses checkpoints from a different
+            # problem / sampler config / seed (same-shape states would
+            # otherwise resume silently into a wrong run).  On the IMPLICIT
+            # pc-resume surface a mismatch means the user edited the
+            # config/data since the stale files were written: warn and
+            # refit fresh rather than aborting (the explicit [run]
+            # checkpoint surface keeps the hard refusal).
+            print(f"Resuming {what}from checkpoint {path}")
+            try:
+                return load_state(path, fingerprint=fp)
+            except ValueError:
+                if not ckpt_implicit:
+                    raise
+                print(
+                    f"WARNING: stale resume files in {ckpt_dir} do not "
+                    "match this problem/config/seed (config edited since "
+                    "they were written?); starting a fresh fit.  Delete "
+                    "the directory or set [pc_settings] read_resume = "
+                    "False to silence this."
+                )
+                return None
+
         if ckpt_read:
             prev = latest_checkpoint(ckpt_dir)
             if prev is not None:
-                # The fingerprint check refuses checkpoints from a different
-                # problem / sampler config / seed (same-shape states would
-                # otherwise resume silently into a wrong run).
-                print(f"Resuming from checkpoint {prev}")
-                state = load_state(prev, fingerprint=fp)
-            if dynamic:
+                state = _load_resume(prev, "")
+            # a stale (mismatched) base state means the boost files are
+            # equally stale -- skip them and refit fresh
+            if dynamic and (prev is None or state is not None):
                 prevb = latest_checkpoint(ckpt_dir, prefix="ns_boost")
                 if prevb is not None:
-                    print(f"Resuming boost pass from checkpoint {prevb}")
-                    boost_state = load_state(prevb, fingerprint=fp)
+                    boost_state = _load_resume(prevb, "boost pass ")
 
         def make_on_chunk(prefix, tag=""):
             def on_chunk(s):

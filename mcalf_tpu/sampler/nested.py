@@ -285,8 +285,10 @@ def nested_sample(
         state = _recluster(state, cfg)
         if chunk <= 0:
             # Two probe chunks: the first pays the compile, the second is the
-            # timing sample.  Round the derived size to a power of two so
-            # repeated runs reuse one compiled executable per size.
+            # timing sample.  (num_steps is a traced scalar since round 4 --
+            # one executable serves every chunk size -- so the power-of-two
+            # rounding below is just a coarse stable quantization of the
+            # wall-time-derived size, not a compile-cache necessity.)
             state = run_steps(loglike_batch, state, cfg, probe)
             jax.block_until_ready(state.logz)
             if on_chunk is not None:

@@ -723,3 +723,20 @@ max_samples = 2500
     rc = main([str(cfg2)])
     assert rc == 0
     assert "Resuming from checkpoint" not in capsys.readouterr().out
+
+    # STALE resume files (the user edited the sampler config since they
+    # were written) must not abort the run on this implicitly-enabled
+    # surface: warn and refit fresh.  (The explicit [run] checkpoint
+    # surface keeps the hard fingerprint refusal --
+    # tests/test_checkpoint.py.)
+    cfg3 = tmp_path / "fit3.cfg"
+    cfg3.write_text(
+        cfg.read_text().replace("num_repeats = 24", "num_repeats = 32")
+    )
+    rc = main([str(cfg3)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "starting a fresh fit" in out, out
+    assert np.isfinite(
+        np.loadtxt(fits / "pcres_0_equal_weights.txt")
+    ).all()
