@@ -28,13 +28,25 @@ def resample_equal(key, results, S: int) -> Tuple[jax.Array, jax.Array]:
     """Draw S equally-weighted posterior samples (with replacement) from the
     weighted dead-point set.  Returns (samples_u (S, ndim), logl (S,)).
 
+    Multinomial draws via inverse-CDF (sorted uniforms against the
+    cumulative weights) in float64 on host: ``jax.random.categorical``
+    materializes an (S, N) Gumbel matrix -- 16 GB for a 4-seed merged
+    flagship (S=40000, N~100k), which RESOURCE_EXHAUSTED the chip at
+    finalize time -- where this is O(N + S) memory.  This is a one-time
+    host-side finalize step (the reference resamples on host too,
+    cli.py:298-312).
+
     Duck-typed: accepts :class:`NSResults` or a
     :class:`~mcalf_tpu.sampler.merge.MergedRun` (host numpy arrays)."""
-    logp = jnp.asarray(results.log_posterior_weights, jnp.float32)
-    idx = jax.random.categorical(key, logp, shape=(S,))
+    logp = np.asarray(results.log_posterior_weights, np.float64)
+    w = np.exp(logp - logp.max())
+    cdf = np.cumsum(w)
+    u = np.asarray(jax.random.uniform(key, (S,), jnp.float32), np.float64)
+    idx = np.searchsorted(cdf, u * cdf[-1], side="right")
+    idx = np.clip(idx, 0, logp.size - 1)
     return (
-        jnp.asarray(results.samples_u, jnp.float32)[idx],
-        jnp.asarray(results.logl, jnp.float32)[idx],
+        jnp.asarray(np.asarray(results.samples_u, np.float32)[idx]),
+        jnp.asarray(np.asarray(results.logl, np.float32)[idx]),
     )
 
 
