@@ -163,7 +163,18 @@ class AbsorptionModel:
         if self.fitrange is not None:
             ok = np.zeros(wave.shape, dtype=bool)
             for lo, hi in self.fitrange:
+                if not hi > lo:
+                    raise ValueError(
+                        f"wavefit range ({lo}, {hi}) is empty or reversed "
+                        "(ranges are min,max pairs)"
+                    )
                 ok |= (wave > lo) & (wave < hi)
+            if ok.sum() < 2:
+                raise ValueError(
+                    f"wavefit ranges {list(self.fitrange)} select "
+                    f"{int(ok.sum())} pixels of the spectrum (it covers "
+                    f"{wave.min():.1f}-{wave.max():.1f} A); nothing to fit"
+                )
             wave, flux, noise = wave[ok], flux[ok], noise[ok]
             self.numfitranges = len(self.fitrange)
         else:
