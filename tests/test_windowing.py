@@ -292,3 +292,38 @@ def test_windowed_matches_unwindowed_likelihood(flagship, monkeypatch):
     assert np.max(np.abs(lw - l0) / (np.abs(l0) + 1.0)) < 3e-6, (
         np.max(np.abs(lw - l0))
     )
+
+
+def test_window_offsets_inactive_and_outside(flagship):
+    """Edge cases of the placement: fully-inactive transitions and line
+    centers far outside the spectrum produce benign (non-overflow) windows
+    -- the kernel's in-window select then contributes exactly zero."""
+    from mcalf_tpu.models.forward import CCGS
+
+    s = static_spec(flagship, use_pallas=True)
+    c, dz, gain, av, dnu = _tables(flagship, 8, seed=12)
+    # all transitions inactive
+    wins, d0, cw, P, Pp = _offsets_for(
+        flagship, s, c, dz, np.zeros_like(gain), dnu
+    )
+    w = wins.reshape(-1, len(s.win_tmin), 2)
+    assert np.all(w[:, :, 1] == 0), "inactive pairs must not overflow"
+    assert np.all((w[:, :, 0] >= 0) & (w[:, :, 0] <= Pp - vp._W))
+    # line centers pushed far outside the spectrum (dz >> prior): empty
+    # near-intervals, no overflow, in-range starts
+    wins2, *_ = _offsets_for(
+        flagship, s, c, np.full_like(dz, 0.5), gain, dnu
+    )
+    w2 = wins2.reshape(-1, len(s.win_tmin), 2)
+    assert np.all(w2[:, :, 1] == 0)
+    assert np.all((w2[:, :, 0] >= 0) & (w2[:, :, 0] <= Pp - vp._W))
+
+
+def test_hjert_wing_even_symmetry():
+    # H(u, a) is even in u; the wing depends on u only through u^2 and must
+    # be exactly symmetric (the window can sit on either side of the line).
+    u = np.linspace(5.0, 40.0, 1001).astype(np.float32)
+    a = np.float32(3e-4)
+    wp = np.asarray(hjert_wing(jnp.asarray(u), a))
+    wm = np.asarray(hjert_wing(jnp.asarray(-u), a))
+    assert np.array_equal(wp, wm)
