@@ -740,3 +740,19 @@ max_samples = 2500
     assert np.isfinite(
         np.loadtxt(fits / "pcres_0_equal_weights.txt")
     ).all()
+
+
+def test_cli_version_and_missing_config(capsys):
+    # --version exits 0 printing the package version (reference --version
+    # role); a nonexistent config file is a clean readconfig error, not a
+    # traceback soup.
+    import pytest
+
+    from mcalf_tpu import __version__
+
+    with pytest.raises(SystemExit) as e:
+        main(["--version"])
+    assert e.value.code == 0
+    assert __version__ in capsys.readouterr().out
+    with pytest.raises((FileNotFoundError, ValueError)):
+        main(["/nonexistent/config.ini"])
