@@ -29,7 +29,27 @@ import numpy as np
 
 __all__ = ["readconfig"]
 
-_BOOL = {"True": True, "False": False}
+_TRUE = {"true", "1", "yes", "on"}
+_FALSE = {"false", "0", "no", "off"}
+
+
+def _parse_bool(val: str, where: str = "") -> bool:
+    """Tolerant boolean for config values.
+
+    The reference crashes with a bare ``KeyError`` on ``asymmlike = true``
+    (hires_fitter.py:803-804 indexes a {'True','False'} dict); per the
+    SURVEY 5.6 fix-the-bugs policy we accept the usual INI spellings
+    case-insensitively and raise a *readable* error on anything else.
+    """
+    s = str(val).strip().lower()
+    if s in _TRUE:
+        return True
+    if s in _FALSE:
+        return False
+    raise ValueError(
+        f"Invalid boolean {val!r}{where}: expected one of "
+        "True/False, 1/0, yes/no, on/off (case-insensitive)"
+    )
 
 
 def _floats(s: str) -> np.ndarray:
@@ -40,7 +60,11 @@ def _settings_dict(cp: configparser.ConfigParser, section: str) -> Dict[str, Any
     out: Dict[str, Any] = {}
     for opt in cp.options(section):
         val = cp.get(section, opt)
-        out[opt] = _BOOL[val] if val in _BOOL else val
+        # Only unambiguous true/false literals convert here (1/0 stay
+        # strings -- they could be numeric settings); runner._as_bool
+        # handles the rest per-key with its documented default.
+        low = val.strip().lower()
+        out[opt] = low == "true" if low in ("true", "false") else val
     return out
 
 
@@ -78,7 +102,9 @@ def readconfig(configfile: str) -> Dict[str, Any]:
         for x in get("input", "coldef", "Wave, Flux, Err").split(",")
     ]
     specres = get("input", "specres", np.array([7.0]), _floats)
-    asymmlike = get("input", "asymmlike", False, lambda v: _BOOL[v])
+    asymmlike = get(
+        "input", "asymmlike", False, lambda v: _parse_bool(v, " for [input] asymmlike")
+    )
     solver = get("input", "solver", "polychord")
     atomfile = get("input", "atomfile", None)
 
@@ -110,9 +136,12 @@ def readconfig(configfile: str) -> Dict[str, Any]:
     nmaxcols = get("plots", "nmaxcols", 5, int)
     yrange = get("plots", "yrange", np.array((-0.1, 1.2)), _floats)
 
-    dofit = get("run", "dofit", True, lambda v: _BOOL[v])
-    doplot = get("run", "doplot", True, lambda v: _BOOL[v])
-    showprogress = get("run", "showprogress", False, lambda v: _BOOL[v])
+    dofit = get("run", "dofit", True, lambda v: _parse_bool(v, " for [run] dofit"))
+    doplot = get("run", "doplot", True, lambda v: _parse_bool(v, " for [run] doplot"))
+    showprogress = get(
+        "run", "showprogress", False,
+        lambda v: _parse_bool(v, " for [run] showprogress"),
+    )
     # The reference defaults device=cpu (hires_fitter.py:962-965) because its
     # host samplers live there; our fit is the device's whole point, so the
     # default is the platform JAX picked (TPU when present).  An explicit
@@ -137,7 +166,10 @@ def readconfig(configfile: str) -> Dict[str, Any]:
     seeds = get(
         "run", "seeds", None, lambda v: [int(x) for x in v.split(",")]
     )
-    ncomp_grid = get("run", "ncomp_grid", False, lambda v: _BOOL[v])
+    ncomp_grid = get(
+        "run", "ncomp_grid", False,
+        lambda v: _parse_bool(v, " for [run] ncomp_grid"),
+    )
 
     # Multi-sightline fleet extension: ``specfile`` accepts a comma list
     # and/or glob patterns (each resolved under datadir).  One entry keeps

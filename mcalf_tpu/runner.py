@@ -599,7 +599,14 @@ def run_fit(
     base = chain_basename(configpars)
     write_stats(base + ".stats", float(logz), float(logzerr), stats_extra)
     if plan.write_dead:
-        _write_dead_birth(base + "_dead-birth.txt", fwd, res)
+        # Dynamic solvers merge base+boost into .stats/_equal_weights, so
+        # the dead-birth file must carry BOTH passes too -- anesthetic
+        # reconstructs the run from (logL, birth-logL) pairs, and a
+        # base-only file would re-analyze to a different evidence than the
+        # shipped outputs.  Concatenated dead points with per-point birth
+        # contours are exactly how a dynamic run is represented.
+        dead_runs = (res, dyn.boost) if dynamic else (res,)
+        _write_dead_birth(base + "_dead-birth.txt", fwd, *dead_runs)
 
     if debug and cfg.max_clusters > 1:
         # Per-mode posterior readout (the MultiNest multimodal-summary
@@ -638,22 +645,27 @@ def run_fit(
     return res, base
 
 
-def _write_dead_birth(path, fwd, res):
+def _write_dead_birth(path, fwd, *runs):
     """PolyChord-format ``_dead-birth.txt`` (the reference's ``write_dead``
     passthrough output, cli.py:100): one row per dead point -- physical
     parameters, logL, birth-contour logL -- the file anesthetic's
     ``read_polychord`` consumes, so downstream nested-sampling tooling
     works on our chains unchanged.  Prior-born points get PolyChord's
-    -1e30 birth sentinel instead of -inf."""
-    logw = np.asarray(res.logw, np.float64)
-    valid = np.isfinite(logw)
-    params = np.asarray(
-        fwd.cube_to_params(np.asarray(res.samples_u)[valid]), np.float64
-    )
-    logl = np.asarray(res.logl, np.float64)[valid]
-    birth = np.asarray(res.birth_logl, np.float64)[valid]
-    birth = np.where(np.isfinite(birth), birth, -1e30)
-    np.savetxt(path, np.column_stack([params, logl, birth]))
+    -1e30 birth sentinel instead of -inf.  Several runs (a dynamic
+    base+boost pair) concatenate: per-point birth contours are the
+    canonical representation of a merged/dynamic run."""
+    rows = []
+    for res in runs:
+        logw = np.asarray(res.logw, np.float64)
+        valid = np.isfinite(logw)
+        params = np.asarray(
+            fwd.cube_to_params(np.asarray(res.samples_u)[valid]), np.float64
+        )
+        logl = np.asarray(res.logl, np.float64)[valid]
+        birth = np.asarray(res.birth_logl, np.float64)[valid]
+        birth = np.where(np.isfinite(birth), birth, -1e30)
+        rows.append(np.column_stack([params, logl, birth]))
+    np.savetxt(path, np.concatenate(rows, axis=0))
 
 
 def _write_chain_files(base, fwd, post, resample_S, extra_lines=()):

@@ -26,7 +26,7 @@ from __future__ import annotations
 import os
 from typing import Optional
 
-_OFF = {"", "0", "off", "none", "false", "False"}
+_OFF = {"", "0", "off", "none", "false"}
 
 
 def enable_compile_cache(
@@ -36,8 +36,8 @@ def enable_compile_cache(
 
     Resolution order: explicit argument, then the
     ``MCALF_TPU_COMPILE_CACHE`` environment variable.  A value in
-    ``{'', '0', 'off', 'none', 'false'}`` disables the cache (returns
-    None).  Only executables whose compile took longer than
+    ``{'', '0', 'off', 'none', 'false'}`` (case-insensitive) disables
+    the cache (returns None).  Only executables whose compile took longer than
     ``min_compile_secs`` are persisted -- tiny dispatch helpers stay
     out of the cache directory.
 
@@ -47,7 +47,7 @@ def enable_compile_cache(
     """
     if cache_dir is None:
         cache_dir = os.environ.get("MCALF_TPU_COMPILE_CACHE", "")
-    if cache_dir in _OFF:
+    if cache_dir.strip().lower() in _OFF:
         return None
     cache_dir = os.path.abspath(os.path.expanduser(cache_dir))
     os.makedirs(cache_dir, exist_ok=True)

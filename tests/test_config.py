@@ -61,6 +61,45 @@ def test_mandatory_keys(tmp_path):
         readconfig(str(p))
 
 
+def test_input_run_bools_tolerant(tmp_path):
+    # The reference crashes with a bare KeyError on `asymmlike = true`
+    # (hires_fitter.py:803-804); every [input]/[run] boolean accepts the
+    # usual INI spellings case-insensitively and raises a READABLE error
+    # on junk (SURVEY 5.6 fix-the-bugs policy).
+    head = "[input]\nspecfile = s.txt\nwavefit = 1, 2\nlinelist = CIV 1548\n"
+
+    p = tmp_path / "b.cfg"
+    p.write_text(head + "asymmlike = true\n[run]\ndofit = YES\ndoplot = 0\n"
+                 "showprogress = on\nncomp_grid = No\n")
+    cfg = readconfig(str(p))
+    assert cfg["asymmlike"] is True
+    assert cfg["dofit"] is True
+    assert cfg["doplot"] is False
+    assert cfg["showprogress"] is True
+    assert cfg["ncomp_grid"] is False
+
+    p.write_text(head + "asymmlike = maybe\n")
+    with pytest.raises(ValueError, match=r"asymmlike.*maybe|maybe.*asymmlike"):
+        readconfig(str(p))
+    p.write_text(head + "[run]\ndofit = 2\n")
+    with pytest.raises(ValueError, match="dofit"):
+        readconfig(str(p))
+
+
+def test_settings_dict_lowercase_literals(tmp_path):
+    # [*_settings] sections convert true/false case-insensitively (1/0 stay
+    # strings -- they could be numeric settings).
+    p = tmp_path / "s.cfg"
+    p.write_text(
+        "[input]\nspecfile = s.txt\nwavefit = 1, 2\nlinelist = CIV 1548\n"
+        "[pc_settings]\nread_resume = false\nwrite_resume = TRUE\nnlive = 1\n"
+    )
+    cfg = readconfig(str(p))
+    assert cfg["pc_settings"]["read_resume"] is False
+    assert cfg["pc_settings"]["write_resume"] is True
+    assert cfg["pc_settings"]["nlive"] == "1"
+
+
 def test_solver_mapping(testdata_dir):
     cfg = readconfig(f"{testdata_dir}/fit.cfg")
     plan = solver_nsconfig(cfg, ndim=34)
@@ -255,6 +294,11 @@ def test_compile_cache_surface(tmp_path):
         assert jax.config.jax_compilation_cache_dir == got
         assert enable_compile_cache("off") is None
         assert enable_compile_cache("") is None  # empty env fallthrough
+        # off-sentinels are case/whitespace-insensitive: OFF must not
+        # create and use a cache directory literally named 'OFF'
+        for s in ("OFF", "None", "FALSE", " Off ", "0"):
+            assert enable_compile_cache(s) is None, s
+        assert not (tmp_path / "OFF").exists()
     finally:
         jax.config.update("jax_compilation_cache_dir", old_dir)
         jax.config.update(

@@ -150,6 +150,10 @@ zrange = 2.99, 3.01
 dofit = True
 doplot = False
 
+[pc_settings]
+read_resume = False
+write_resume = False
+
 [ns_settings]
 nlive = 60
 max_samples = 3000
@@ -167,6 +171,36 @@ precision_criterion = 0.01
     _, _, _, post = analyze_chains(base)
     assert abs(np.nanmedian(post[:, 1]) - 13.8) < 0.06
     assert abs(np.nanmedian(post[:, 2]) - 3.0) < 1e-4
+
+    # The _dead-birth.txt must carry BOTH passes of the dynamic run (the
+    # .stats evidence is merged base+boost): boost points are born at the
+    # finite l_init contour, and an anesthetic-style reconstruction of the
+    # evidence from (logL, birth) pairs alone must agree with the shipped
+    # merged logZ -- a base-only file re-analyzes ~1 nat off.
+    dead = np.loadtxt(base + "_dead-birth.txt")
+    assert np.any(dead[:, -1] == -1e30), "no prior-born (base) points"
+    finite_births = dead[dead[:, -1] > -1e29, -1]
+    assert finite_births.size > 0, "boost pass missing from dead-birth file"
+    assert abs(lnz - _deadbirth_logz(dead)) < 3 * err + 0.3
+
+
+def _deadbirth_logz(dead):
+    """Anesthetic's dead-birth evidence reconstruction: the live-point count
+    at each death is recovered from the birth contours, so this checks the
+    FILE is a self-consistent nested-sampling run, not just row counts."""
+    logl = dead[:, -2]
+    birth = dead[:, -1]
+    order = np.argsort(logl, kind="stable")
+    logl, birth = logl[order], birth[order]
+    nlive = np.array(
+        [np.sum((birth < li) & (logl >= li)) for li in logl], dtype=np.float64
+    )
+    # mean-shrinkage volumes: X_i = prod n_k/(n_k+1); w_i = X_{i-1}/(n_i+1)
+    logx = np.cumsum(np.log(nlive) - np.log(nlive + 1.0))
+    logw = np.concatenate([[0.0], logx[:-1]]) - np.log(nlive + 1.0)
+    a = logw + logl
+    m = a.max()
+    return m + np.log(np.sum(np.exp(a - m)))
 
 
 def test_rank_guard_warns_on_failing_fit(tmp_path, testdata_dir, capsys, monkeypatch):
@@ -699,6 +733,10 @@ max_samples = 2500
     fits = tmp_path / "fits"
     resume_dir = fits / "pcres_0_resume"
     assert any(resume_dir.glob("ns_state_*.npz")), "write_resume wrote nothing"
+    # Per-chunk checkpoints are pruned as they are written (keep=3):
+    # ordinary polychord configs must not grow the resume dir unboundedly
+    # (one multi-MB state per ~15 s chunk otherwise).
+    assert len(list(resume_dir.glob("ns_state_*.npz"))) <= 3
     stats0 = (fits / "pcres_0.stats").read_bytes()
     # write_dead defaults True when [pc_settings] exists (reference
     # cli.py:100): params + logL + birth logL per dead point.
