@@ -147,6 +147,122 @@ _LINES: Dict[str, LineData] = dict(
         # --- Sodium D doublet (vacuum wavelengths) ---
         _L("NaI 5891", 5891.5833, 0.640800, 6.16e7),
         _L("NaI 5897", 5897.5581, 0.319900, 6.14e7),
+        # =================================================================
+        # Breadth extension toward linetools' ISM namespace (reference
+        # hires_fitter.py:90-113 resolves ANY named ISM transition).
+        # Oscillator strengths are Morton (2003) values as distributed
+        # with common fitting codes.  Damping constants marked "est" are
+        # two-level estimates A = 6.670e15 * f * (g_l/g_u) / wrest^2 (the
+        # same construction used for the SII/NiII entries above, exact
+        # for CIV/Li-like ions) or the dominant-channel width of the
+        # shared upper level for weak satellite lines; damping wings are
+        # invisible for these weak metal lines at ISM columns, and any
+        # entry can be overridden via register_line()/atomfile.
+        # =================================================================
+        # --- Lyman series to near the limit (f: Wiese et al.; gamma
+        # extrapolated along A ~ n^-3 as above) ---
+        _L("HI 916", 916.4290, 0.000577, 1.53e6),
+        _L("HI 915", 915.8240, 0.000469, 1.24e6),
+        _L("HI 915.3", 915.3290, 0.000386, 1.02e6),
+        _L("HI 914.9", 914.9190, 0.000321, 8.5e5),
+        _L("HI 914.5", 914.5760, 0.000270, 7.2e5),
+        _L("HI 914.2", 914.2860, 0.000230, 6.1e5),
+        _L("HI 914.0", 914.0390, 0.000197, 5.2e5),
+        # --- Deuterium series continuation (isotope-shifted HI) ---
+        _L("DI 972", 972.2722, 0.029000, 8.127e7),
+        _L("DI 949", 949.4847, 0.013940, 4.204e7),
+        _L("DI 937", 937.5484, 0.007804, 2.450e7),
+        # --- Neutral carbon ground-level multiplets ---
+        _L("CI 1656", 1656.9283, 0.149000, 3.60e8),
+        _L("CI 1560", 1560.3092, 0.077400, 1.27e8),
+        _L("CI 1328", 1328.8333, 0.075800, 2.88e8),
+        _L("CI 1280", 1280.1353, 0.026300, 1.06e8),
+        _L("CI 1277", 1277.2452, 0.085300, 2.30e8),
+        _L("CI 945", 945.1910, 0.273000, 1.30e9),   # est
+        # --- CI fine-structure excited levels (3P1 = CI*, 3P2 = CI**);
+        # upper-level widths shared with the ground multiplet ---
+        _L("CI* 1656.2", 1656.2672, 0.058900, 3.60e8),
+        _L("CI* 1657.3", 1657.3792, 0.035600, 3.60e8),
+        _L("CI* 1657.9", 1657.9068, 0.047300, 3.60e8),
+        _L("CI** 1657", 1657.0082, 0.104000, 3.60e8),
+        _L("CI** 1658", 1658.1212, 0.035600, 3.60e8),
+        # --- CII far-UV resonance + excited fine structure ---
+        _L("CII 903.9", 903.9616, 0.333000, 2.72e9),  # est
+        _L("CII 903.6", 903.6235, 0.166000, 1.36e9),  # est
+        _L("CII* 1037", 1037.0182, 0.123000, 7.6e8),  # est
+        # --- NI 1134 resonance triplet ---
+        _L("NI 1134.1", 1134.1653, 0.014600, 7.6e7),  # est
+        _L("NI 1134.4", 1134.4149, 0.028700, 1.49e8),  # est
+        _L("NI 1134.9", 1134.9803, 0.041600, 2.15e8),  # est
+        # --- Ionized nitrogen ---
+        _L("NII 1083", 1083.9937, 0.111000, 6.30e8),  # est
+        _L("NII 915", 915.6131, 0.159000, 1.27e9),    # est
+        _L("NIII 989", 989.7990, 0.123000, 8.4e8),    # est
+        # --- OI far-UV series + fine-structure companions of 1302 ---
+        _L("OI 1039", 1039.2304, 0.009200, 9.4e7),    # est
+        _L("OI 988", 988.7734, 0.046500, 3.17e8),     # est
+        _L("OI 976", 976.4481, 0.003310, 2.31e7),     # est
+        _L("OI 950", 950.8846, 0.001580, 1.17e7),     # est
+        _L("OI 936", 936.6295, 0.003650, 2.78e7),     # est
+        _L("OI* 1304", 1304.8576, 0.047800, 5.6e8),
+        _L("OI** 1306", 1306.0286, 0.047800, 5.6e8),
+        # --- Phosphorus ---
+        _L("PII 1152", 1152.8180, 0.245000, 1.23e9),  # est
+        _L("PII 1301", 1301.8743, 0.019600, 7.7e7),   # est
+        _L("PV 1117", 1117.9774, 0.450000, 1.20e9),   # Li-like, exact g
+        _L("PV 1128", 1128.0078, 0.221000, 1.16e9),   # Li-like, exact g
+        # --- Argon ---
+        _L("ArI 1048", 1048.2199, 0.263000, 5.3e8),   # g_l/g_u = 1/3
+        _L("ArI 1066", 1066.6599, 0.067500, 1.32e8),  # g_l/g_u = 1/3
+        # --- Sulphur ions ---
+        _L("SIII 1190", 1190.2030, 0.022200, 1.05e8),  # est
+        _L("SIII 1012", 1012.4950, 0.035500, 2.31e8),  # est
+        _L("SIV 1062", 1062.6620, 0.049400, 1.5e8),    # est
+        _L("SVI 933", 933.3780, 0.437000, 1.67e9),     # Li-like, exact g
+        _L("SVI 944", 944.5230, 0.215000, 1.61e9),     # Li-like, exact g
+        # --- SiII far-UV + excited fine structure (SiII*) ---
+        _L("SiII 989", 989.8731, 0.171000, 5.8e8),     # est
+        _L("SiII 1020", 1020.6989, 0.016800, 5.4e7),   # est
+        _L("SiII* 1264", 1264.7377, 1.050000, 2.92e9),
+        _L("SiII* 1194", 1194.5002, 0.737000, 3.45e9),
+        _L("SiII* 1197", 1197.3938, 0.150000, 1.40e9),
+        _L("SiII* 1309", 1309.2757, 0.080000, 6.2e8),  # est
+        _L("SiII* 1533", 1533.4312, 0.129000, 7.3e8),  # est
+        _L("SiII* 1816", 1816.9285, 0.001660, 6.7e6),  # est
+        # --- FeII far-UV / weak optical-UV multiplets (weak-line gammas
+        # are the dominant-channel upper-level widths) ---
+        _L("FeII 1063", 1063.1764, 0.054700, 3.2e8),   # est
+        _L("FeII 1081", 1081.8748, 0.012600, 3.0e8),   # est
+        _L("FeII 1096", 1096.8769, 0.032700, 3.0e8),   # est
+        _L("FeII 1121", 1121.9748, 0.029000, 3.0e8),   # est
+        _L("FeII 1125", 1125.4477, 0.015600, 3.0e8),   # est
+        _L("FeII 1143", 1143.2260, 0.019200, 3.0e8),   # est
+        _L("FeII 1144", 1144.9379, 0.083000, 4.2e8),   # est
+        _L("FeII 1260", 1260.5330, 0.024000, 2.9e8),   # est
+        _L("FeII 1611", 1611.2003, 0.001380, 2.9e8),   # est
+        _L("FeII 2249", 2249.8768, 0.001820, 3.3e8),   # est
+        _L("FeII 2260", 2260.7805, 0.002440, 3.2e8),   # est
+        _L("FeIII 1122", 1122.5260, 0.054400, 2.9e8),  # est
+        # --- More nickel ---
+        _L("NiII 1317", 1317.2170, 0.057100, 2.2e8),   # est
+        _L("NiII 1370", 1370.1320, 0.076900, 2.7e8),   # est
+        _L("NiII 1454", 1454.8420, 0.032300, 1.0e8),   # est
+        # --- MnII far-UV resonance triplet ---
+        _L("MnII 1197", 1197.1840, 0.217000, 1.0e9),   # est
+        _L("MnII 1199", 1199.3910, 0.169000, 7.8e8),   # est
+        _L("MnII 1201", 1201.1180, 0.121000, 5.6e8),   # est
+        # --- Weak MgII doublet (3s-4p) ---
+        _L("MgII 1239", 1239.9253, 0.000632, 1.4e8),   # est
+        _L("MgII 1240", 1240.3947, 0.000356, 1.4e8),   # est
+        # --- More titanium ---
+        _L("TiII 1910", 1910.6123, 0.104000, 1.9e8),   # est
+        _L("TiII 3073", 3073.8633, 0.121000, 8.5e7),   # est
+        _L("TiII 3230", 3230.1310, 0.068700, 4.4e7),   # est
+        _L("TiII 3242", 3242.9180, 0.232000, 1.47e8),  # est
+        # --- Odd-Z iron-peak / heavy tracers ---
+        _L("CoII 2012", 2012.1664, 0.036800, 6.1e7),   # est
+        _L("CuII 1358", 1358.7730, 0.263000, 9.5e8),   # est
+        _L("GeII 1237", 1237.0591, 0.875600, 1.9e9),   # est
     ]
 )
 

@@ -23,10 +23,23 @@ def test_every_line_physical():
         ln = get_line(name)
         assert 900.0 < ln.wrest < 10000.0, name
         assert 0.0 < ln.f <= 2.2, name
-        assert 1.0e6 < ln.gamma < 3.0e9, name
+        # high-order Lyman gammas reach ~5e5; SiII* 1194 is 3.45e9
+        assert 1.0e5 < ln.gamma < 4.0e9, name
         ion, label = name.split()
         # name convention: label is the truncated rest wavelength
         assert abs(float(label) - ln.wrest) < 1.0, name
+
+
+def test_breadth_vs_linetools_namespace():
+    # Round-5 coverage target (VERDICT round 4): >= 150 transitions so the
+    # common linetools-ISM names a reference config can ask for resolve.
+    names = available_lines()
+    assert len(names) >= 150, len(names)
+    ions = {n.split()[0] for n in names}
+    for ion in ("HI", "DI", "CI", "CI*", "CI**", "CII*", "SiII*", "OI*",
+                "PII", "PV", "ArI", "NII", "NIII", "SIII", "SIV", "SVI",
+                "FeII", "FeIII", "NiII", "MnII", "TiII"):
+        assert ion in ions, ion
 
 
 @pytest.mark.parametrize(
@@ -40,6 +53,8 @@ def test_every_line_physical():
         ("CaII 3934", "CaII 3969"),
         ("NaI 5891", "NaI 5897"),
         ("AlIII 1854", "AlIII 1862"),
+        ("PV 1117", "PV 1128"),
+        ("SVI 933", "SVI 944"),
     ],
 )
 def test_doublet_f_ratio_near_two(strong, weak):
@@ -54,6 +69,8 @@ def test_lyman_series_monotone():
     names = [
         "HI 1215", "HI 1025", "HI 972", "HI 949", "HI 937", "HI 930",
         "HI 926", "HI 923", "HI 920", "HI 919", "HI 918", "HI 917",
+        "HI 916", "HI 915", "HI 915.3", "HI 914.9", "HI 914.5",
+        "HI 914.2", "HI 914.0",
     ]
     lines = get_lines(names)
     wrest = np.array([l.wrest for l in lines])
@@ -66,10 +83,24 @@ def test_lyman_series_monotone():
 
 
 def test_deuterium_mirrors_hydrogen():
-    h, d = get_line("HI 1215"), get_line("DI 1215")
-    assert d.f == h.f and d.gamma == h.gamma
-    # isotope shift ~0.33 A blueward
-    assert 0.2 < h.wrest - d.wrest < 0.5
+    for hn, dn in (("HI 1215", "DI 1215"), ("HI 1025", "DI 1025"),
+                   ("HI 972", "DI 972"), ("HI 949", "DI 949"),
+                   ("HI 937", "DI 937")):
+        h, d = get_line(hn), get_line(dn)
+        assert d.f == h.f and d.gamma == h.gamma
+        # isotope shift: ~0.33 A blueward at Ly-a, scaling with wrest
+        assert 0.15 < h.wrest - d.wrest < 0.5, (hn, dn)
+
+
+def test_fine_structure_families():
+    # excited fine-structure entries sit within a few A of their
+    # ground-level parent and share its upper-level width
+    assert abs(get_line("CI* 1656.2").wrest - get_line("CI 1656").wrest) < 2
+    assert get_line("CI* 1656.2").gamma == get_line("CI 1656").gamma
+    assert abs(get_line("OI* 1304").wrest - get_line("OI 1302").wrest) < 4
+    assert abs(get_line("SiII* 1264").wrest - get_line("SiII 1260").wrest) < 6
+    assert abs(get_line("SiII* 1533").wrest - get_line("SiII 1526").wrest) < 8
+    assert abs(get_line("CII* 1335").wrest - get_line("CII 1334").wrest) < 2
 
 
 def test_ni_1200_alias():

@@ -203,6 +203,53 @@ def _deadbirth_logz(dead):
     return m + np.log(np.sum(np.exp(a - m)))
 
 
+def test_xla_only_full_fit_pinned(tmp_path, testdata_dir, monkeypatch):
+    # GPU contract (reference README.md:5 claims CUDA support): the
+    # pure-XLA likelihood path -- what a GPU backend would run, Pallas
+    # force-disabled -- must complete a full fit with a correct evidence.
+    # Pinned by name so the fallback stays a contract, not an accident of
+    # the CPU suite's auto-off policy.
+    monkeypatch.setenv("MCALF_TPU_PALLAS", "0")
+    cfg = tmp_path / "fit.cfg"
+    cfg.write_text(
+        f"""
+[input]
+specfile = civ_mock_spec.txt
+wavefit = 6180,6220
+linelist = CIV 1548, CIV 1550
+coldef = Wave, Flux, Err
+solver = polychord
+specres = 8.0
+
+[pathing]
+datadir = {testdata_dir}/
+outdir = {tmp_path}/
+chainfmt = xla_{{0}}
+
+[components]
+ncomp = 1,1
+contval = 1
+Nrange = 12.0,14.5
+brange = 10.0, 40.0
+zrange = 2.99, 3.01
+
+[run]
+dofit = True
+doplot = False
+
+[ns_settings]
+nlive = 60
+max_samples = 2500
+"""
+    )
+    rc = main([str(cfg)])
+    assert rc == 0
+    lnz, err = read_stats(str(tmp_path / "fits" / "xla_0.stats"))
+    # quadrature truth for this mock: 4983.62
+    assert abs(lnz - 4983.62) < 3.0, lnz
+    assert 0 < err < 1.0
+
+
 def test_rank_guard_warns_on_failing_fit(tmp_path, testdata_dir, capsys, monkeypatch):
     # The insertion-rank guard is ALWAYS on (no --debug needed): when the
     # test fails, the runner must print the health warning and record the
