@@ -29,6 +29,16 @@ def main(argv=None) -> int:
 
     configpars = readconfig(args.config)
 
+    # Multi-process fleets print from rank 0 only (the reference gates its
+    # output to MPI rank 0, cli.py:116-118,184-186).  is_rank0 never
+    # initializes a backend, so `[run] device = cpu` still works below.
+    from mcalf_tpu.utils.rank import is_rank0
+
+    if not is_rank0():
+        import sys
+
+        sys.stdout = open(os.devnull, "w")
+
     print(f"MC-ALF-TPU version {__version__}")
     if args.debug:
         print("--- DEBUG mode, increased verbosity ---")

@@ -95,6 +95,8 @@ def fit_stacked(
     mesh: Optional[Mesh] = None,
     chunk_steps: Optional[int] = None,
     keys=None,
+    states: Optional[NSState] = None,
+    on_chunk=None,
 ) -> NSResults:
     """Run one independent nested-sampling fit per stacked problem, sharded
     over the mesh.  Returns NSResults with a leading problem axis.
@@ -110,7 +112,15 @@ def fit_stacked(
     steps from a host loop (keeps every device execution short -- required on
     runtimes that bound execution length; see CLAUDE.md).  Shards that
     converge early no-op their remaining chunks.  Bit-identical to the
-    single-shot path."""
+    single-shot path.
+
+    ``states``/``on_chunk`` (chunked path only): ``states`` resumes from a
+    previously captured stacked sampler state (an :class:`NSState` pytree
+    with the problem axis leading -- exactly what ``on_chunk`` receives and
+    what ``utils.checkpoint.save_state``/``load_state`` round-trip, so a
+    killed fleet restarts mid-run with bit-identical results);
+    ``on_chunk(states)`` is a host callback invoked after every chunk, the
+    fleet analogue of ``nested_sample``'s checkpoint hook."""
     mesh = mesh if mesh is not None else make_mesh()
     axis = mesh.axis_names[0]
     nprob = next(iter(v.shape[0] for k, v in stacked.items() if k not in _STATIC_KEYS))
@@ -132,6 +142,11 @@ def fit_stacked(
         return lambda u: loglike_cube_core(u, c=consts, s=spec)
 
     if chunk_steps is None:
+        if states is not None or on_chunk is not None:
+            raise ValueError(
+                "states=/on_chunk= require the chunked path; pass chunk_steps"
+            )
+
         def run_one(args):
             local_consts, key = args
             return nested_sample_device(_ll(local_consts), key, cfg)
@@ -146,16 +161,20 @@ def fit_stacked(
         return fitter(data, keys)
 
     # ---- chunked path ----------------------------------------------------
-    init_fn = shard_map(
-        lambda d, k: jax.lax.map(
-            lambda a: init_state(_ll(a[0]), a[1], cfg), (d, k)
-        ),
-        mesh=mesh,
-        in_specs=(data_specs, P(axis)),
-        out_specs=P(axis),
-        check_vma=False,
-    )
-    states = init_fn(data, keys)
+    if states is None:
+        init_fn = shard_map(
+            lambda d, k: jax.lax.map(
+                lambda a: init_state(_ll(a[0]), a[1], cfg), (d, k)
+            ),
+            mesh=mesh,
+            in_specs=(data_specs, P(axis)),
+            out_specs=P(axis),
+            check_vma=False,
+        )
+        states = init_fn(data, keys)
+    else:
+        # resumed checkpoint: host numpy arrays re-enter as device arrays
+        states = jax.tree.map(jnp.asarray, states)
     state_specs = jax.tree.map(lambda _: P(axis), states)
 
     step_fn = shard_map(
@@ -171,6 +190,8 @@ def fit_stacked(
     while bool(np.any(np.asarray(not_done(states)))):
         states = step_fn(data, states)
         jax.block_until_ready(states.logz)
+        if on_chunk is not None:
+            on_chunk(states)
 
     fin_fn = shard_map(
         lambda d, st: jax.lax.map(
@@ -190,8 +211,16 @@ def fit_many(
     seed: int = 43,
     mesh: Optional[Mesh] = None,
     conv_mode: str = "same_edge",
+    chunk_steps: Optional[int] = None,
+    states: Optional[NSState] = None,
+    on_chunk=None,
 ) -> NSResults:
-    """Fit a list of structurally identical problems across the mesh."""
+    """Fit a list of structurally identical problems across the mesh.
+
+    ``chunk_steps``/``states``/``on_chunk`` select and drive the chunked
+    host loop (see :func:`fit_stacked`) -- the path a real pod under
+    execution-time limits uses, with checkpoint/resume of the sharded
+    state."""
     spec, stacked = stack_problems(models, conv_mode=conv_mode)
     # Label-symmetry gauge fixing when it is a shared exact symmetry of
     # every stacked problem (see NSConfig.canon_layout).
@@ -202,4 +231,7 @@ def fit_many(
             import dataclasses
 
             config = dataclasses.replace(config, canon_layout=layout)
-    return fit_stacked(spec, stacked, config, seed=seed, mesh=mesh)
+    return fit_stacked(
+        spec, stacked, config, seed=seed, mesh=mesh,
+        chunk_steps=chunk_steps, states=states, on_chunk=on_chunk,
+    )

@@ -120,3 +120,46 @@ def test_fit_stacked_chunked_matches_single_shot(problems):
     chk = fit_stacked(spec, stacked, cfg, seed=5, chunk_steps=3)
     assert np.array_equal(np.asarray(one.logz), np.asarray(chk.logz))
     assert np.array_equal(np.asarray(one.n_like), np.asarray(chk.n_like))
+
+
+def test_fit_stacked_sharded_checkpoint_resume(problems, tmp_path):
+    """A fleet killed mid-run must resume from its on-disk SHARDED
+    checkpoint bit-identically -- the pod kill-and-resume contract (the
+    reference's only analogue is PolyChord's MPI resume, cli.py:97-98).
+    The checkpoint is the stacked NSState pytree ``on_chunk`` receives,
+    round-tripped through utils.checkpoint's .npz format."""
+    from mcalf_tpu.models.batched import stack_problems
+    from mcalf_tpu.parallel import fit_stacked
+    from mcalf_tpu.utils.checkpoint import load_state, save_state
+
+    spec, stacked = stack_problems(problems[:8])
+    cfg = NSConfig(ndim=problems[0].ndim, nlive=40, max_samples=1000,
+                   precision_criterion=0.2, num_repeats=8)
+    path = str(tmp_path / "fleet_state.npz")
+    chunks_seen = []
+
+    def on_chunk(states):
+        chunks_seen.append(int(np.asarray(states.step).max()))
+        if len(chunks_seen) == 1:
+            # "kill" point: persist the first-chunk sharded state only
+            save_state(path, states)
+
+    straight = fit_stacked(
+        spec, stacked, cfg, seed=5, chunk_steps=3, on_chunk=on_chunk
+    )
+    assert len(chunks_seen) >= 2, (
+        "fit converged within one chunk; shrink chunk_steps so the resume "
+        "path is actually exercised"
+    )
+    resumed = fit_stacked(
+        spec, stacked, cfg, seed=5, chunk_steps=3, states=load_state(path)
+    )
+    assert np.array_equal(np.asarray(straight.logz), np.asarray(resumed.logz))
+    assert np.array_equal(
+        np.asarray(straight.n_like), np.asarray(resumed.n_like)
+    )
+    # per-shard posterior weights identical too, not just scalars
+    assert np.array_equal(
+        np.asarray(straight.logw, np.float64),
+        np.asarray(resumed.logw, np.float64),
+    )
