@@ -29,10 +29,14 @@ Printed JSON:
                     the executables resident (seed A; seed B repeats it
                     as extra.fit_s_warm -- the two agree when the TPU
                     relay is healthy).  The one-time executable
-                    build/load happens inside an UNTIMED warmup fit
-                    (seed 7) whose total wall-clock -- fit plus all
-                    compiles/cache-loads -- is recorded as
-                    extra.warmup_compile_s, with
+                    build/load happens inside an UNTIMED
+                    sampler.warmup_executables call (two production-shape
+                    steps driving every executable on the fit path; round 4
+                    used a full warmup fit, which buried the load tail
+                    under ~46 s of redundant fit compute) whose wall-clock
+                    is recorded as extra.warmup_compile_s, with
+                    extra.distinct_executables counting the programs built
+                    (jax.monitoring backend-compile events) and
                     extra.compile_cache saying whether it was a cold XLA
                     compile or a hit in the persistent executable cache
                     (utils/compile_cache.py, repo-local .jax_cache/).
@@ -289,6 +293,7 @@ def main():
         merge_results,
         nested_sample,
         run_steps,
+        warmup_executables,
     )
 
     model = AbsorptionModel.from_file(
@@ -317,16 +322,33 @@ def main():
     # ---- untimed warmup: make the flagship executables resident ----------
     # (see the module docstring: the compile/load wall-clock measures the
     # relay's recovery state, so it is recorded separately, never in
-    # `value`.)  A full fit at a third seed forces EVERY executable on the
-    # seed-A path (init_state, the chunked run_steps, and the eager
-    # finalize/diagnostic dispatches) through compile-or-cache-load --
-    # init_state+run_steps alone measured resident in ~5 s while seed A
-    # still paid ~77 s, so the long tail lives in the small programs.
+    # `value`.)  Round 5 replaced the round-4 warmup FIT (82.5 s warm-cache,
+    # ~46 s of it redundant fit compute) with sampler.warmup_executables:
+    # two real steps at production shapes drive every executable on the
+    # seed-A path (init_state, the single traced-num_steps run_steps
+    # program, the jitted termination check, finalize) through
+    # compile-or-cache-load, so warmup now measures the load tail ALONE and
+    # time-to-first-result is warmup + one fit.  distinct_executables
+    # counts backend compiles/cache-loads during warmup via jax.monitoring
+    # (the round-4 tail was ~28 programs -- 15 of them op-by-op eager
+    # dispatches from the termination check, since folded into one program,
+    # nested.py _not_done_jit).
+    compile_events = {"backend_compiles": 0, "cache_hits": 0}
+
+    def _count_compiles(key, *a, **kw):
+        if key == "/jax/core/compile/backend_compile_duration":
+            compile_events["backend_compiles"] += 1
+
+    def _count_hits(key, **kw):
+        if key == "/jax/compilation_cache/cache_hits":
+            compile_events["cache_hits"] += 1
+
+    jax.monitoring.register_event_duration_secs_listener(_count_compiles)
+    jax.monitoring.register_event_listener(_count_hits)
     t0 = time.perf_counter()
-    _w = nested_sample(fwd.loglike_cube, jax.random.PRNGKey(7), cfg)
-    jax.block_until_ready(_w.logz)
+    warmup_executables(fwd.loglike_cube, jax.random.PRNGKey(7), cfg)
     warmup_compile_s = time.perf_counter() - t0
-    del _w
+    distinct_executables = compile_events["backend_compiles"]
 
     # Roofline sample before the fits (relay drift; two more later).
     roofline_pre = _measure_vpu_roofline()
@@ -582,6 +604,8 @@ def main():
                     "fit_s_warm": round(fit_s_warm, 1),
                     "compile_cache": "warm" if cache_warm else "cold",
                     "warmup_compile_s": round(warmup_compile_s, 1),
+                    "distinct_executables": distinct_executables,
+                    "cache_hits_at_warmup": compile_events["cache_hits"],
                     "nlive400_b200": nlive400_study,
                     "fit_evals_per_s": round(fit_eps, 1),
                     "est_flops_per_eval": flops,

@@ -9,6 +9,7 @@ from mcalf_tpu.sampler.nested import (
     make_sampler,
     nested_sample,
     run_steps,
+    warmup_executables,
 )
 from mcalf_tpu.sampler.clusters import (
     ClusterReport,
@@ -40,6 +41,7 @@ __all__ = [
     "finalize",
     "init_state",
     "is_done",
+    "warmup_executables",
     "make_sampler",
     "nested_sample",
     "nested_sample_device",

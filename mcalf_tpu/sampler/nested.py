@@ -397,9 +397,39 @@ def _not_done(s: NSState, cfg: NSConfig):
     return not_capped & (not_converged | ~jnp.isfinite(s.logz)) & live_ok
 
 
+#: jitted termination check for the host chunk loop: ONE executable instead
+#: of ~15 eager op-by-op dispatches per chunk (each eager op costs a full
+#: relay round-trip ~0.3 s to compile at startup and ~30 ms to dispatch per
+#: chunk -- measured round 5; the op census that motivated this lives in
+#: bench.py's distinct_executables field).
+_not_done_jit = partial(jax.jit, static_argnums=(1,))(_not_done)
+
+
 def is_done(state: NSState, config: NSConfig) -> bool:
     """Host-side: has the run terminated (converged or capped)?"""
-    return not bool(_not_done(state, config.resolved()))
+    return not bool(_not_done_jit(state, config.resolved()))
+
+
+def warmup_executables(loglike_batch, key, config: NSConfig) -> None:
+    """Make every executable on the :func:`nested_sample` path resident
+    WITHOUT running a fit: ``init_state``, the single chunk-size-agnostic
+    ``run_steps`` program (``num_steps`` is traced), the jitted termination
+    check, and ``finalize`` -- all at production shapes, driven for two
+    real sampler steps.
+
+    Time-to-first-result plumbing: a long-running service (or bench.py)
+    calls this once so the compile-or-cache-load tail is paid up front and
+    measurable separately; the subsequent fits run with everything
+    resident.  Round-5 measurement on the TPU relay: a full warmup *fit*
+    cost 82.5 s warm-cache (46 s of it redundant fit compute); this call
+    costs ~the compile/cache-load tail alone."""
+    cfg = config.resolved()
+    state = init_state(loglike_batch, key, cfg)
+    state = _recluster(state, cfg)
+    state = run_steps(loglike_batch, state, cfg, 2)
+    is_done(state, cfg)
+    res = finalize(loglike_batch, state, cfg)
+    jax.block_until_ready(res.logz)
 
 
 def canonicalize_u(u, layout, ncomp_vals):
