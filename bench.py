@@ -148,52 +148,73 @@ def _interleaved_best(measures, reps=3):
     return best
 
 
-def _measure_vpu_roofline():
-    """Measured attainable f32 VPU FMA rate on THIS chip (the roofline
-    denominator for utilization).  The loop body chains 32 dependent FMAs
-    per element before the carried value round-trips, so arithmetic
-    intensity is 64 FLOP/byte and the measurement is compute-bound (a
-    single FMA per pass would measure HBM bandwidth instead -- that bug
-    made the round-3 draft report a 0.067 TFLOP/s 'roofline').  ~100
-    GFLOP per timed call so the relay's per-call overhead (tens of ms)
-    is amortized -- at 17 GFLOP/call the probe under-measured enough to
-    put 'utilization' above 100%.  Best of 3.
+def _make_roofline_measure(chain=256, nacc=16, shape=(512, 1024), iters=400):
+    """Measure closure for the attainable f32 VPU FMA rate on THIS chip
+    (the roofline denominator for utilization).
 
-    NOTE the relay's throughput drifts up to 5x within a session, so a
-    roofline sampled once is only comparable to rates measured NEAR it
-    in time; main() samples it right after the fits and again at the end
-    and uses the max."""
+    Round-5 methodology fixes (each is a measured failure mode):
+    * nacc=16 INDEPENDENT accumulator arrays per element: the round-4
+      probe chained 32 *dependent* FMAs per element, so the FMA pipeline
+      never filled across issue slots and the 'roofline' read 2.2 TFLOP/s
+      -- BELOW what the real kernel sustains (hence the unphysical 118%
+      utilization).  The ILP sweep (chain x nacc interleaved on-chip)
+      plateaus at ~5.5 TFLOP/s at chain=256, nacc=16; chain=512 collapses
+      (program too large), both documented by the sweep in the round-5
+      notes.
+    * the multiplier is a TRACED argument, so XLA cannot constant-fold
+      the chain (with a literal 1.0000001 the algebraic collapse is
+      legal).
+    * every timed call is salted (the relay memoizes bit-identical
+      dispatches -- a salt-free probe read 1651 'TFLOP/s').
+    * the timing barrier is a host transfer (float), since
+      block_until_ready does not reliably block through the relay.
+
+    ~1.7 TFLOP per timed call amortizes the relay's per-call overhead.
+    Returns a measure() -> FLOP/s closure compatible with
+    _interleaved_best, so the roofline can be sampled IN THE SAME
+    interleaved block as the kernel rate it normalizes (the relay drifts
+    up to 5x within a session; a roofline sampled at a different moment
+    is not a valid denominator)."""
     import jax
     import jax.numpy as jnp
 
-    x = jnp.ones((512, 1024), jnp.float32)
-    iters = 3000
-    chain = 32
+    x = jnp.ones(shape, jnp.float32)
 
     @jax.jit
-    def loop(x):
-        def body(i, acc):
+    def loop(x, m):
+        accs = [x * (1.0 + 0.001 * i) for i in range(nacc)]
+
+        def _chain(a):
             for _ in range(chain):
-                acc = acc * 1.0000001 + 1e-7
-            return acc
+                a = a * m + 1e-7
+            return a
 
-        return jax.lax.fori_loop(0, iters, body, x)
+        accs = jax.lax.fori_loop(
+            0, iters, lambda i, accs: [_chain(a) for a in accs], accs
+        )
+        s = accs[0]
+        for a in accs[1:]:
+            s = s + a
+        return jnp.sum(s)
 
-    jax.block_until_ready(loop(x))
-    best = 0.0
-    for _ in range(3):
+    salt = [1.0000001]
+    float(loop(x, jnp.float32(salt[0])))  # compile
+
+    def measure():
+        salt[0] += 1e-9
+        m = jnp.float32(salt[0])
         t0 = time.perf_counter()
-        jax.block_until_ready(loop(x))
+        float(loop(x, m))
         dt = time.perf_counter() - t0
-        best = max(best, 2.0 * chain * iters * x.size / dt)
-    return best  # FLOP/s
+        return 2.0 * chain * nacc * iters * x.size / dt
+
+    return measure
 
 
-# Approximate FLOPs of one fused likelihood evaluation (Harris tau path):
-# per (transition, pixel): u assembly ~5 + Harris H ~55 + accumulate 2;
-# plus exp(-tau), 23-tap convolution and the chi^2 reduction per pixel.
-def _flops_per_eval(ntrans, npix, taps):
-    return ntrans * npix * 62 + npix * (2 * taps + 6)
+def _measure_vpu_roofline():
+    """Best-of-3 standalone roofline sample (see _make_roofline_measure)."""
+    m = _make_roofline_measure()
+    return max(m() for _ in range(3))
 
 
 def _hi_forest_fit():
@@ -435,8 +456,16 @@ def main():
     ours_eps, ref_eps = _interleaved_best(
         [_make_sustained(fwd.loglike, p200), _make_sustained(ref_ll, p200)]
     )
-    ours_eps_small, ref_eps_small = _interleaved_best(
-        [_make_sustained(fwd.loglike, pprod), _make_sustained(ref_ll, pprod)]
+    # The roofline is sampled IN THIS interleaved block so the
+    # production-batch kernel rate and its normalizing denominator see the
+    # same relay moment (utilization from rates sampled minutes apart was
+    # how round 4 printed 118%).
+    ours_eps_small, ref_eps_small, roof_at_kernel = _interleaved_best(
+        [
+            _make_sustained(fwd.loglike, pprod),
+            _make_sustained(ref_ll, pprod),
+            _make_roofline_measure(),
+        ]
     )
     # The reference's execution pattern: point-sequential likelihood calls
     # inside the sampler loop (jaxns, cli.py:275-280).  2000 chained
@@ -571,12 +600,32 @@ def main():
     occupancy_gain = round(k4_eps / k1_eps, 2)
 
     # ---- measured utilization -------------------------------------------
-    ntrans = int(model.transition_table()["pidx"].size)
-    flops = _flops_per_eval(ntrans, model.npix, 2 * model.kernel_half_size() + 1)
-    # Sustained throughput from the WARM fit (seed B): seed A's wall-clock
-    # carries the one-time executable compile, which is not throughput.
+    # FLOPs/eval from an automatic op census of the likelihood's jaxpr
+    # (utils/flops.py; policy stated there -- elementwise arithmetic at 1
+    # FLOP per output element, FMA=2, transcendentals at 1 = a LOWER
+    # bound, predicates/selects/data-movement at 0).  The census walks the
+    # XLA path's jaxpr; the fused Pallas kernel implements the same math
+    # (ops/voigt_pallas.py mirrors models/jax_model.py term for term), so
+    # the count applies to both.  Round 4's hand formula (62 FLOP per
+    # transition-pixel) under-counted the Harris path ~2x; censused it is
+    # ~109, which together with the round-4 dependent-chain roofline bug
+    # (see _make_roofline_measure) produced the unphysical 118%.
+    from mcalf_tpu.utils.flops import flop_census
+
+    census = flop_census(fwd_xla.loglike, pprod)
+    flops = census.flops // B_prod
+    # Drift-immune utilization: kernel rate and roofline from the SAME
+    # interleaved block (roof_at_kernel above).
+    kernel_utilization_pct = round(
+        100.0 * ours_eps_small * flops / roof_at_kernel, 1
+    )
+    # Fit-level throughput from the WARM fit (seed B): seed A's wall-clock
+    # carries the one-time executable load.  The fit and the roofline
+    # samples are minutes apart, so their ratio carries the relay's
+    # throughput drift (up to +/-40%) -- reported for continuity with
+    # rounds 1-4, but kernel_utilization_pct is the accountable number.
     fit_eps = int(runs[1].n_like) / fit_s_warm
-    roofline = max(roofline_a, _measure_vpu_roofline())
+    roofline = max(roofline_a, roof_at_kernel, _measure_vpu_roofline())
     utilization_pct = round(100.0 * fit_eps * flops / roofline, 1)
 
     print(
@@ -608,10 +657,22 @@ def main():
                     "cache_hits_at_warmup": compile_events["cache_hits"],
                     "nlive400_b200": nlive400_study,
                     "fit_evals_per_s": round(fit_eps, 1),
-                    "est_flops_per_eval": flops,
+                    "censused_flops_per_eval": flops,
                     "est_sustained_tflops": round(fit_eps * flops / 1e12, 3),
                     "measured_vpu_roofline_tflops": round(roofline / 1e12, 3),
+                    "roofline_at_kernel_tflops": round(
+                        roof_at_kernel / 1e12, 3
+                    ),
+                    "kernel_utilization_pct": kernel_utilization_pct,
                     "utilization_pct": utilization_pct,
+                    "utilization_note": (
+                        "kernel_utilization_pct is drift-immune (kernel "
+                        "rate and roofline interleaved in one block); "
+                        "utilization_pct divides the fit-level rate by a "
+                        "roofline sampled minutes away, so it carries the "
+                        "relay's throughput drift and can disagree with "
+                        "fused_likelihood_evals_per_s for the same reason"
+                    ),
                     "fused_likelihood_evals_per_s": round(ours_eps, 1),
                     "reference_style_evals_per_s": round(ref_eps, 1),
                     "reference_sequential_evals_per_s": round(ref_eps_seq, 1),
