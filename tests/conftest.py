@@ -49,6 +49,7 @@ _SLOW_MODULES = {
     "test_merge",         # multi-run merge fits (24 s each)
     "test_clusters",      # two-mode clustering fits (26-35 s)
     "test_hi_forest",     # HI+filler trans-dimensional fit (92 s)
+    "test_coverage",      # 32-realization SBC battery over the mesh (53 s)
 }
 
 #: Individual heavy tests inside otherwise-fast modules.  The smoke tier

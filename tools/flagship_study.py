@@ -43,13 +43,17 @@ def make_model(ncomp):
     )
 
 
-def main(out_path):
-    import jax
-
-    from mcalf_tpu.models import make_jax_forward
-    from mcalf_tpu.sampler import NSConfig, insertion_rank_test, nested_sample
-
+def build_jobs(mode="full"):
     jobs = []
+    if mode == "anchor544":
+        # Round-5 ladder re-anchor (VERDICT r4 item 2): the 544-rung limit
+        # was measured with the round-3 kernel; re-pool it with the
+        # current (windowed, round-4/5) kernel on four FRESH seeds --
+        # independent of the bench's headline seeds 43/44 so the gate is
+        # not judged against its own draws.
+        for seed in (51, 52, 53, 54):
+            jobs.append(("anchor544", (8, 11), 544, 100, seed))
+        return jobs
     # (tag, ncomp, num_repeats, num_delete, seed)
     for nr in (68, 136, 272, 544):
         for seed in (43, 44):
@@ -68,6 +72,16 @@ def main(out_path):
     for nr in (544, 272):
         for seed in (43, 44):
             jobs.append(("async_sched", (8, 11), nr, 100, seed))
+    return jobs
+
+
+def main(out_path, mode="full"):
+    import jax
+
+    from mcalf_tpu.models import make_jax_forward
+    from mcalf_tpu.sampler import NSConfig, insertion_rank_test, nested_sample
+
+    jobs = build_jobs(mode)
 
     models = {}
     for tag, ncomp, nr, nd, seed in jobs:
@@ -112,4 +126,6 @@ def main(out_path):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/flagship_study.jsonl")
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/flagship_study.jsonl"
+    mode = sys.argv[2] if len(sys.argv) > 2 else "full"
+    main(out, mode)
