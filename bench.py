@@ -370,6 +370,7 @@ def main():
     warmup_executables(fwd.loglike_cube, jax.random.PRNGKey(7), cfg)
     warmup_compile_s = time.perf_counter() - t0
     distinct_executables = compile_events["backend_compiles"]
+    cache_hits_at_warmup = compile_events["cache_hits"]
 
     # Roofline sample before the fits (relay drift; two more later).
     roofline_pre = _measure_vpu_roofline()
@@ -654,7 +655,7 @@ def main():
                     "compile_cache": "warm" if cache_warm else "cold",
                     "warmup_compile_s": round(warmup_compile_s, 1),
                     "distinct_executables": distinct_executables,
-                    "cache_hits_at_warmup": compile_events["cache_hits"],
+                    "cache_hits_at_warmup": cache_hits_at_warmup,
                     "nlive400_b200": nlive400_study,
                     "fit_evals_per_s": round(fit_eps, 1),
                     "censused_flops_per_eval": flops,

@@ -54,6 +54,20 @@ def build_jobs(mode="full"):
         for seed in (51, 52, 53, 54):
             jobs.append(("anchor544", (8, 11), 544, 100, seed))
         return jobs
+    if mode == "recal":
+        # Round-5 rung recalibration on FRESH seeds after the anchor544
+        # runs exposed that the round-3 544 'pool' was two seeds (43/44)
+        # counted twice (scheduler variants), correlated with the bench's
+        # own merged seeds.  Pooled per-rung means suggest a decaying
+        # high bias at 272; this resolves the 272-vs-544 doubling shift
+        # at sem ~0.4-0.5 per rung.
+        for seed in range(55, 63):
+            jobs.append(("recal272", (8, 11), 272, 100, seed))
+        for seed in range(55, 59):
+            jobs.append(("recal544", (8, 11), 544, 100, seed))
+        for seed in (55, 56):
+            jobs.append(("recal1088", (8, 11), 1088, 100, seed))
+        return jobs
     # (tag, ncomp, num_repeats, num_delete, seed)
     for nr in (68, 136, 272, 544):
         for seed in (43, 44):
