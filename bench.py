@@ -7,17 +7,23 @@ entirely on-device by the native nested sampler in its PRODUCTION
 configuration: label-gauge fixing + triplet-DE (canon_layout), mode
 clustering, the fused Pallas likelihood kernel,
 num_delete = nlive//2 = 100 (the measured throughput knee),
-num_repeats = 272 -- the FIRST CONVERGED RUNG of the round-3 repeats
-ladder (tools/flagship_study_r03.jsonl, pooled over kernel variants:
-272 -> 4856.76 +/- 0.70 over n=10 seeds, 544 -> 4856.45 +/- 0.31 (n=4),
-1088 -> 4854.93 (n=2); every doubling shift is consistent with zero, so
-the ladder criterion -- run at the first rung whose doubling moves logZ
-by less than its combined uncertainty -- selects 272.  Round 3 ran the
-next rung (544) out of caution at 2x the evals; the round-4 bench runs
-the calibrated rung and re-validates it every run: ``converged`` gates
-on the termination criterion AND green insertion ranks AND the merged
-evidence landing within errors of the 544-rung limit (logz_vs_ladder_
-limit).
+num_repeats = 544 -- the FIRST CONVERGED RUNG of the round-5 repeats
+ladder, recalibrated on FRESH seeds (tools/flagship_study_r05_anchor.jsonl,
+seeds 51-62, current kernel): 272 -> 4856.60 +/- 0.46 (n=8),
+544 -> 4854.94 +/- 0.48 (n=8), 1088 -> 4855.37 (n=2).  The 272->544
+doubling shift is -1.66 +/- 0.66 (2.5 sigma) -- REAL residual
+under-mixing bias at 272 -- while 544->1088 is +0.43 +/- 1.45, so the
+ladder criterion (run at the first rung whose doubling moves logZ by
+less than its combined uncertainty) selects 544.  Rounds 3-4 ran 272:
+their '544 pool' (4856.45 +/- 0.31, n=4) was seeds 43/44 counted twice
+across scheduler variants -- correlated with the bench's own merged
+seeds, so the gate was judging the rung against its own draws and the
+bias was invisible.  The per-seed logZ scatter is sd ~1.33, 1.6x the
+quoted per-run logzerr ~0.84 (SEED_SCATTER_SD below); the convergence
+gate uses the measured scatter, not the quoted error.  ``converged``
+gates on the termination criterion AND green insertion ranks AND the
+merged evidence landing within 2 sigma of the fresh-seed 544+1088
+pooled limit (logz_vs_ladder_limit).
 
 Two independent seeds are fit and merged via birth-contour run merging
 (sampler/merge.py).  ``converged`` gates on the evidence termination
@@ -76,18 +82,21 @@ import time
 
 import numpy as np
 
-#: Round-3 repeats-ladder limit (tools/flagship_study_r03.jsonl, B=100).
-#: Pooling every kernel variant at each rung (the pass scheduler does not
-#: change the statistics): 272 -> 4856.76 +/- 0.70 (n=10 seeds),
-#: 544 -> 4856.45 +/- 0.31 (n=4), 1088 -> 4854.93 +/- 1.03 (n=2, rows
-#: tagged ladder1088); every doubling shift is consistent with zero
-#: within the quoted per-run logzerr (~0.83), i.e. the ladder is
-#: CONVERGED from 272 up.  The INDEPENDENT fixed-k decomposition from
-#: the same study -- Z_trans = logsumexp(Z8, Z9, Z10) - log 3 with
-#: Z8=4415.8, Z9=4797.7, Z10=4858.6 (uniform ncomp prior on [8,11],
-#: floor -> mass 1/3 per k) -- gives 4857.5, confirming the
-#: trans-dimensional evidence to within one per-run logzerr.
-LADDER_LIMIT = 4856.7
+#: Round-5 repeats-ladder limit: the FRESH-SEED 544+1088 pool with the
+#: current kernel (tools/flagship_study_r05_anchor.jsonl, seeds 51-58 at
+#: 544 and 55-56 at 1088, n=10): 4855.03 +/- 0.44.  Replaces the round-3
+#: value 4856.7, which pooled seeds 43/44 twice (scheduler variants) --
+#: the same seeds the bench merges, so the old limit was correlated with
+#: the quantity it gated AND sat in the 272-rung bias (see the module
+#: docstring).  The round-3 fixed-k decomposition (4857.5) shares both
+#: defects: fixed-k runs at 272 repeats on seeds 43/44.
+LADDER_LIMIT = 4855.03
+#: sem of the pooled limit above
+LADDER_LIMIT_SEM = 0.44
+#: Measured per-seed logZ scatter at the production rung (sd over the
+#: n=8 fresh 544 runs; 1.6x the quoted per-run logzerr ~0.84 -- the
+#: quoted error understates run-to-run variation, so gates use this).
+SEED_SCATTER_SD = 1.33
 
 
 def _find_testdata(name):
@@ -334,7 +343,7 @@ def main():
     cfg = NSConfig(
         ndim=model.ndim,
         nlive=200,
-        num_repeats=272,
+        num_repeats=544,
         max_samples=60000,
         precision_criterion=1e-3,
         canon_layout=model.canon_layout(),
@@ -371,6 +380,13 @@ def main():
     warmup_compile_s = time.perf_counter() - t0
     distinct_executables = compile_events["backend_compiles"]
     cache_hits_at_warmup = compile_events["cache_hits"]
+    # Second call with everything resident: separates the relay's recovery
+    # lottery (warmup_compile_s measured 21 s healthy / 197 s recovering
+    # for the IDENTICAL 6-program load) from the actual per-call cost of
+    # the warmup steps.
+    t0 = time.perf_counter()
+    warmup_executables(fwd.loglike_cube, jax.random.PRNGKey(7), cfg)
+    warmup_repeat_s = time.perf_counter() - t0
 
     # Roofline sample before the fits (relay drift; two more later).
     roofline_pre = _measure_vpu_roofline()
@@ -393,11 +409,14 @@ def main():
     # A failing health check or a truncated run is NOT a success, whatever
     # the termination flag says (the round-2 verdict's gating requirement).
     # Third gate per the module docstring: the merged evidence must land
-    # within errors of the 544-rung ladder limit -- 3x the combined
-    # (merged-quoted + per-run-scale ladder) uncertainty, catching an
-    # under-mixing regression at the calibrated num_repeats=272 that the
-    # termination flag and rank tests alone would miss.
-    ladder_tol = 3.0 * float(np.hypot(merged.logzerr, 0.83))
+    # within 2 sigma of the fresh-seed pooled ladder limit (round 4 used
+    # 3 sigma of an uncertainty built from the QUOTED logzerr; the round-5
+    # recalibration measured the real per-seed scatter at 1.6x that, and
+    # a correlated limit -- see LADDER_LIMIT).  The merged-run scatter is
+    # SEED_SCATTER_SD/sqrt(2) (two seeds), combined with the limit's sem.
+    ladder_tol = 2.0 * float(
+        np.hypot(SEED_SCATTER_SD / np.sqrt(2.0), LADDER_LIMIT_SEM)
+    )
     converged = (
         all(int(r.termination_reason) == 0 for r in runs)
         and all(d.p_value > 0.01 for d in ranks)
@@ -644,6 +663,10 @@ def main():
                     "logz_vs_ladder_limit": round(
                         merged.logz - LADDER_LIMIT, 3
                     ),
+                    "num_repeats": cfg.num_repeats,
+                    "ladder_limit": LADDER_LIMIT,
+                    "ladder_tol_2sigma": round(ladder_tol, 3),
+                    "seed_scatter_sd": SEED_SCATTER_SD,
                     "rank_test_p": [round(d.p_value, 4) for d in ranks],
                     "rank_test_p_blocks": [
                         round(d.p_value_blocks, 4) for d in ranks
@@ -656,6 +679,7 @@ def main():
                     "warmup_compile_s": round(warmup_compile_s, 1),
                     "distinct_executables": distinct_executables,
                     "cache_hits_at_warmup": cache_hits_at_warmup,
+                    "warmup_repeat_s": round(warmup_repeat_s, 1),
                     "nlive400_b200": nlive400_study,
                     "fit_evals_per_s": round(fit_eps, 1),
                     "censused_flops_per_eval": flops,

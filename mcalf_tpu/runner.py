@@ -280,6 +280,25 @@ def solver_nsconfig(configpars: Dict[str, Any], ndim: int) -> SolverPlan:
     )
 
 
+def transdim_counts_as_difficult(cfg: "NSConfig", model) -> bool:
+    """Should an unset ``num_repeats`` resolve to the difficult (24*ndim)
+    default because the model is trans-dimensional?
+
+    Trans-dimensional fits mix slower than the 1-comp anchor the 12*ndim
+    default was calibrated on: the round-5 fresh-seed recalibration
+    (tools/flagship_study_r05_anchor.jsonl) measured a -1.66 +/- 0.66 nat
+    evidence bias at 8*ndim repeats on the flagship, converged at
+    16*ndim -- so an unset num_repeats on a variable-ncomp model gets the
+    same doubling jaxns' ``difficult_model`` applies (reference
+    cli.py:266-267 exposes the flag; this makes it the trans-dimensional
+    default rather than an opt-in)."""
+    return (
+        cfg.num_repeats == 0
+        and not cfg.difficult_model
+        and model.ncomp[0] != model.ncomp[1]
+    )
+
+
 def chain_basename(configpars: Dict[str, Any]) -> str:
     """``chaindir + chainfmt.format(nfill)`` (reference cli.py:293,324)."""
     return os.path.join(
@@ -321,6 +340,16 @@ def run_fit(
     plan = solver_nsconfig(configpars, model.ndim)
     cfg, resample_S, dynamic = plan.cfg, plan.resample_S, plan.dynamic
     if cfg.num_repeats == 0:
+        if transdim_counts_as_difficult(cfg, model):
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, difficult_model=True)
+            if plan.boost_config is not None and plan.boost_config.num_repeats == 0:
+                plan = plan._replace(
+                    boost_config=dataclasses.replace(
+                        plan.boost_config, difficult_model=True
+                    )
+                )
         # The calibrated default differs from PolyChord's (see
         # solver_nsconfig); say so once per fit so the cost change at high
         # ndim is never silent (MIGRATION.md documents the calibration).
@@ -328,7 +357,10 @@ def run_fit(
         print(
             f"num_repeats unset -> calibrated default {r.num_repeats} "
             f"(= {'24' if cfg.difficult_model else '12'}*ndim at ndim="
-            f"{model.ndim}); set [ns_settings] num_repeats to override."
+            f"{model.ndim}"
+            + (", trans-dimensional model counts as difficult"
+               if cfg.difficult_model else "")
+            + "); set [ns_settings] num_repeats to override."
         )
     layout = model.canon_layout()
     if layout is not None:

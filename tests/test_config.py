@@ -304,3 +304,28 @@ def test_compile_cache_surface(tmp_path):
         jax.config.update(
             "jax_persistent_cache_min_compile_time_secs", old_min
         )
+
+
+def test_transdim_default_counts_as_difficult():
+    """Unset num_repeats on a variable-ncomp model doubles the calibrated
+    default (round-5 rung recalibration: 8*ndim repeats carries a
+    -1.66 +/- 0.66 nat bias on the flagship; 16*ndim converges)."""
+    from types import SimpleNamespace
+
+    from mcalf_tpu.runner import solver_nsconfig, transdim_counts_as_difficult
+
+    plan = solver_nsconfig({"solver": "polychord"}, ndim=34)
+    assert transdim_counts_as_difficult(
+        plan.cfg, SimpleNamespace(ncomp=(8, 11))
+    )
+    # fixed-ncomp models keep the 12*ndim anchor calibration
+    assert not transdim_counts_as_difficult(
+        plan.cfg, SimpleNamespace(ncomp=(2, 2))
+    )
+    # explicit settings always win
+    plan2 = solver_nsconfig(
+        {"solver": "polychord", "pc_settings": {"num_repeats": 170}}, ndim=34
+    )
+    assert not transdim_counts_as_difficult(
+        plan2.cfg, SimpleNamespace(ncomp=(8, 11))
+    )
