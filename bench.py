@@ -210,7 +210,11 @@ def _make_roofline_measure(chain=256, nacc=16, shape=(512, 1024), iters=400):
     float(loop(x, jnp.float32(salt[0])))  # compile
 
     def measure():
-        salt[0] += 1e-9
+        # Salt step must SURVIVE the float32 cast (spacing at 1.0 is
+        # ~1.2e-7; a 1e-9 step left the multiplier bit-identical across
+        # calls).  1e-6 changes bits every call while keeping m^
+        # (chain*iters) finite over any plausible number of calls.
+        salt[0] += 1e-6
         m = jnp.float32(salt[0])
         t0 = time.perf_counter()
         float(loop(x, m))
@@ -384,8 +388,9 @@ def main():
     # lottery (warmup_compile_s measured 21 s healthy / 197 s recovering
     # for the IDENTICAL 6-program load) from the actual per-call cost of
     # the warmup steps.
+    # (fresh key: a bit-identical repeat dispatch could be relay-memoized)
     t0 = time.perf_counter()
-    warmup_executables(fwd.loglike_cube, jax.random.PRNGKey(7), cfg)
+    warmup_executables(fwd.loglike_cube, jax.random.PRNGKey(8), cfg)
     warmup_repeat_s = time.perf_counter() - t0
 
     # Roofline sample before the fits (relay drift; two more later).

@@ -928,6 +928,21 @@ def _run_spectrum_fleet(configpars, debug=False):
             padded = [pad_model_to_npix(m, npix) for m in models]
             fleet_plan = solver_nsconfig(configpars, models[0].ndim)
             cfg, resample_S = fleet_plan.cfg, fleet_plan.resample_S
+            if transdim_counts_as_difficult(cfg, models[0]):
+                # Same calibrated trans-dimensional default as run_fit
+                # (all spectra share the config's ncomp range); without
+                # this the sharded path would silently fit at half the
+                # repeats of the sequential fallback.
+                import dataclasses
+
+                cfg = dataclasses.replace(cfg, difficult_model=True)
+                r = cfg.resolved()
+                print(
+                    f"num_repeats unset -> calibrated default "
+                    f"{r.num_repeats} (= 24*ndim at ndim={models[0].ndim}, "
+                    "trans-dimensional model counts as difficult); set "
+                    "[ns_settings] num_repeats to override."
+                )
             if debug:
                 print(
                     f"[DEBUG]: sharding {len(subs)} spectra over {ndev} "

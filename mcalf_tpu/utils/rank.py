@@ -28,9 +28,14 @@ def is_rank0() -> bool:
     try:
         from jax._src import distributed
 
-        pid = distributed.global_state.process_id
-        if pid is not None:
-            return int(pid) == 0
+        gs = distributed.global_state
+        # process_id DEFAULTS to 0 before initialization (verified on the
+        # installed jax), so it is only authoritative once the distributed
+        # client actually exists -- gate on that, or single-process runs
+        # would terminate resolution here and auto-initialized pods would
+        # never reach the backend check below.
+        if gs.client is not None:
+            return int(gs.process_id) == 0
     except Exception:
         pass
     try:

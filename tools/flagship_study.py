@@ -68,6 +68,16 @@ def build_jobs(mode="full"):
         for seed in (55, 56):
             jobs.append(("recal1088", (8, 11), 1088, 100, seed))
         return jobs
+    if mode == "fixedk544":
+        # Independent cross-check of the recalibrated evidence: the exact
+        # decomposition Z_trans = logsumexp(Z8, Z9, Z10) - log 3 from
+        # fixed-ncomp fits AT THE CONVERGED RUNG on fresh seeds.  (The
+        # round-3 decomposition ran 272 repeats on seeds 43/44 -- both
+        # defects of the old limit.)
+        for k in (8, 9, 10):
+            for seed in (63, 64):
+                jobs.append((f"fixedk544_{k}", (k, k), 544, 100, seed))
+        return jobs
     # (tag, ncomp, num_repeats, num_delete, seed)
     for nr in (68, 136, 272, 544):
         for seed in (43, 44):
