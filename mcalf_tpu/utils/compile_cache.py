@@ -30,7 +30,7 @@ _OFF = {"", "0", "off", "none", "false"}
 
 
 def enable_compile_cache(
-    cache_dir: Optional[str] = None, min_compile_secs: float = 2.0
+    cache_dir: Optional[str] = None, min_compile_secs: float = 0.5
 ) -> Optional[str]:
     """Enable JAX's persistent compilation cache at ``cache_dir``.
 
@@ -39,7 +39,10 @@ def enable_compile_cache(
     ``{'', '0', 'off', 'none', 'false'}`` (case-insensitive) disables
     the cache (returns None).  Only executables whose compile took longer than
     ``min_compile_secs`` are persisted -- tiny dispatch helpers stay
-    out of the cache directory.
+    out of the cache directory.  (Default 0.5 s: through the TPU relay
+    the warmup path's mid-tier programs -- termination check, finalize,
+    recluster -- compile in 0.5-2 s each, and persisting them trims the
+    warm-start tail; sub-0.5 s eager dispatches still stay out.)
 
     Returns the resolved cache directory, or None when disabled.
     Idempotent; safe to call before or after backend initialization
@@ -59,4 +62,17 @@ def enable_compile_cache(
     jax.config.update(
         "jax_persistent_cache_min_compile_time_secs", float(min_compile_secs)
     )
+    # Make cache keys ENTRY-SCRIPT-INDEPENDENT.  The cache key hashes the
+    # canonicalized (strip-debuginfo) StableHLO bytecode, but MLIR location
+    # metadata nested inside opaque payloads -- the Mosaic kernel module
+    # serialized into tpu_custom_call backend_config -- survives that pass,
+    # and those locations embed the USER STACK, including the entry
+    # script's filename (measured round 5: two scripts building the
+    # identical flagship program produced equal-length canonical bytecode
+    # differing only in location string tables, e.g. b"/tmp/canon_a.py" vs
+    # b"/tmp/canon_b.py", so tools/warm_cache.py entries were invisible to
+    # bench.py).  Dropping user frames from locations makes the canonical
+    # bytes bit-identical across entry points; compile errors still carry
+    # Python-side tracebacks (jax_traceback_filtering is untouched).
+    jax.config.update("jax_traceback_in_locations_limit", 0)
     return cache_dir

@@ -287,11 +287,17 @@ def test_compile_cache_surface(tmp_path):
 
     old_dir = jax.config.jax_compilation_cache_dir
     old_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    old_loc = jax.config.jax_traceback_in_locations_limit
     try:
         got = enable_compile_cache(str(tmp_path / "cc"))
         assert got == str(tmp_path / "cc")
         assert (tmp_path / "cc").is_dir()
         assert jax.config.jax_compilation_cache_dir == got
+        # entry-script-independent keys: user frames must be dropped from
+        # MLIR locations (they leak into the Mosaic payload's string
+        # table, which the key's strip-debuginfo pass cannot reach --
+        # see compile_cache.py)
+        assert jax.config.jax_traceback_in_locations_limit == 0
         assert enable_compile_cache("off") is None
         assert enable_compile_cache("") is None  # empty env fallthrough
         # off-sentinels are case/whitespace-insensitive: OFF must not
@@ -304,6 +310,7 @@ def test_compile_cache_surface(tmp_path):
         jax.config.update(
             "jax_persistent_cache_min_compile_time_secs", old_min
         )
+        jax.config.update("jax_traceback_in_locations_limit", old_loc)
 
 
 def test_transdim_default_counts_as_difficult():
