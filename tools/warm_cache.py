@@ -68,6 +68,13 @@ def main():
     warmup_executables(fwd.loglike_cube, jax.random.PRNGKey(7), cfg)
     print(f"flagship warm: {time.perf_counter() - t0:.1f} s")
 
+    # __graft_entry__.entry() compile-check program: the standalone batched
+    # likelihood at the (64, ndim) example shape.
+    t0 = time.perf_counter()
+    example = np.full((64, model.ndim), 0.5, np.float32)
+    jax.block_until_ready(jax.jit(fwd.loglike_cube)(example))
+    print(f"entry warm: {time.perf_counter() - t0:.1f} s")
+
     # --- nlive=400 / num_delete=200 study variant -----------------------
     cfg400 = dataclasses.replace(cfg, nlive=400, num_delete=200, max_samples=120000)
     t0 = time.perf_counter()
