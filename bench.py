@@ -316,6 +316,33 @@ def main():
     )
     cache_warm = bool(cache_dir and os.listdir(cache_dir))
 
+    # Self-warm the cache in a SUBPROCESS (untimed) so the timed warmup
+    # below always measures CROSS-PROCESS cache loads -- the
+    # "time-to-first-result with a warm cache" the metric is defined as --
+    # rather than cold XLA compiles whenever .jax_cache/ was cleared (e.g.
+    # by a cache-key change).  In-process warming would be cheating: the
+    # executables would already be resident in memory and the timed warmup
+    # would measure neither a compile nor a load.  Unconditional (not
+    # gated on the directory being empty): cache keys include the backend,
+    # so entries left by a CPU run would make a non-empty directory look
+    # warm to a TPU bench; when entries for this backend already exist the
+    # subprocess is a cheap idempotent load (~21 s healthy relay).  Cache
+    # keys are entry-script-independent (utils/compile_cache.py), so the
+    # tools/warm_cache.py entries are visible here.  Failure (wedged
+    # relay, missing tool) falls through to the honest cold measurement.
+    if cache_dir:
+        import subprocess
+
+        warm_tool = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools", "warm_cache.py"
+        )
+        try:
+            print("bench: pre-warming the executable cache in a subprocess (untimed)")
+            subprocess.run([sys.executable, warm_tool], timeout=1800, check=False)
+        except Exception as e:  # noqa: BLE001 - never let warming kill the bench
+            print(f"bench: cache pre-warm failed ({e}); continuing cold")
+        cache_warm = bool(os.listdir(cache_dir))
+
     import jax
 
     from mcalf_tpu.models import AbsorptionModel, make_jax_forward
